@@ -1,0 +1,44 @@
+package graft.core
+
+/** Engine configuration mirroring the reference's constants.
+  *
+  * Sources (reference, read-only, cited for provenance):
+  *  - weights 0.4/0.3/0.2/0.1: /root/reference/config/settings.py:56-59
+  *  - thresholds HIGH 0.72 / LOW 0.60: /root/reference/config/settings.py:14-15
+  *  - type multiplier 1.0 match / 0.1 mismatch / 1.0 missing:
+  *    /root/reference/config/settings.py:64-65, services/disambiguation.py:300-311
+  *  - CrossEncoder normalization min -6.5 / max 7.7 clamp [0,1]:
+  *    /root/reference/services/disambiguation.py:42-51
+  *  - retrieval fan-out top_k=10: /root/reference/config/settings.py:18
+  *  - type-branch cosine floor 0.1: /root/reference/services/disambiguation.py:193
+  *  - embedding dim 1024 (BGE-M3): /root/reference/config/settings.py:106.
+  *    The sandbox has no BGE-M3; the engine uses a deterministic hashed
+  *    char-n-gram embedder (same role as the reference's own seeded fallback,
+  *    services/vectorization.py:315-334). Dim is configurable; default 64 keeps
+  *    the 100TB-scale join cheap while preserving the scoring semantics.
+  */
+final case class GraftConfig(
+    bgeWeight: Double = 0.4,
+    crossEncoderWeight: Double = 0.3,
+    fuzzWeight: Double = 0.2,
+    levenshteinWeight: Double = 0.1,
+    highThreshold: Double = 0.72,
+    lowThreshold: Double = 0.60,
+    typeMatchBonus: Double = 1.0,
+    typeMismatchPenalty: Double = 0.1,
+    topK: Int = 10,
+    cosineFloor: Double = 0.1,
+    embeddingDim: Int = 64,
+    // blocking: char n-gram sizes used as candidate-join keys
+    blockNgramSize: Int = 3,
+    // grams whose entity-side document frequency exceeds this are dropped from
+    // the blocking index (low selectivity == all cost, no recall value).
+    blockMaxDf: Long = 1000L,
+    // salting replication factor for hot blocking keys
+    saltBuckets: Int = 8,
+    forceDecision: Boolean = false
+) {
+  def midThreshold: Double = (highThreshold + lowThreshold) / 2.0
+}
+
+object GraftConfig { val default: GraftConfig = GraftConfig() }

@@ -1,0 +1,190 @@
+package graft.core
+
+import scala.util.hashing.MurmurHash3
+
+/** Pure-Scala text-similarity core — the ORACLE-SHARED functions whose
+  * semantics clone the reference scorer. No Spark imports: the same code runs
+  * inside Spark UDFs, in the no-Spark oracle, and in unit tests, so the
+  * P/R comparison is well-defined.
+  *
+  * Reference provenance:
+  *  - tokenSortRatio: rapidfuzz fuzz.token_sort_ratio/100 used at
+  *    /root/reference/services/disambiguation.py:313-341 (split on whitespace,
+  *    sort tokens, join with single spaces, normalized InDel similarity).
+  *  - levRatio: 1 - lev(a,b)/max(len) (0.0 when both empty),
+  *    /root/reference/services/disambiguation.py:343-379.
+  *  - crossMax: name x name plus the full alias cross-product in both
+  *    directions, take the max — disambiguation.py:320-337 / :352-375.
+  *  - embed: deterministic per-text vectors standing in for BGE-M3, same role
+  *    as the reference's own seeded fallback (vectorization.py:315-334).
+  *  - cosine: type-branch cosine at disambiguation.py:191 (the engine
+  *    standardizes on cosine; the reference's raw-IP main path is documented
+  *    divergence, see SURVEY.md X4).
+  *  - contextScore: offline surrogate for the CrossEncoder logit
+  *    (disambiguation.py:272-274): token TF cosine over the two scoring
+  *    texts, already in [0,1].
+  */
+object TextSim {
+
+  /** Whitespace tokenization exactly as Python str.split(): runs of
+    * whitespace collapse, leading/trailing ignored. */
+  def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Levenshtein distance (unit costs), O(|a|*|b|), two-row DP. */
+  def levenshtein(a: CharSequence, b: CharSequence): Int = {
+    val (la, lb) = (a.length, b.length)
+    if (la == 0) return lb
+    if (lb == 0) return la
+    var prev = Array.tabulate(lb + 1)(identity)
+    var curr = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      curr(0) = i
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= lb) {
+        val cost = if (ca == b.charAt(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    prev(lb)
+  }
+
+  /** 1 - lev/max(len); 0.0 when both strings are empty (reference
+    * disambiguation.py:347-349 ternary). */
+  def levRatio(a: String, b: String): Double = {
+    val m = math.max(a.length, b.length)
+    if (m == 0) 0.0 else 1.0 - levenshtein(a, b).toDouble / m
+  }
+
+  /** Longest common subsequence length, O(|a|*|b|), two-row DP. */
+  private def lcsLen(a: String, b: String): Int = {
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 || lb == 0) return 0
+    var prev = new Array[Int](lb + 1)
+    var curr = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= lb) {
+        curr(j) =
+          if (ca == b.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), curr(j - 1))
+        j += 1
+      }
+      val tmp = prev; prev = curr; curr = tmp
+      java.util.Arrays.fill(curr, 0)
+      i += 1
+    }
+    prev(lb)
+  }
+
+  /** Normalized InDel similarity: (la+lb-dist)/(la+lb) where dist is
+    * insert/delete-only edit distance = la+lb-2*LCS. Equals rapidfuzz's
+    * `ratio`-style normalization for the InDel metric; 1.0 for two empty
+    * strings (rapidfuzz returns 100 there). */
+  def indelSimilarity(a: String, b: String): Double = {
+    val tot = a.length + b.length
+    if (tot == 0) 1.0 else 2.0 * lcsLen(a, b) / tot
+  }
+
+  /** rapidfuzz fuzz.token_sort_ratio / 100. */
+  def tokenSortRatio(a: String, b: String): Double = {
+    val sa = tokens(a).sorted.mkString(" ")
+    val sb = tokens(b).sorted.mkString(" ")
+    indelSimilarity(sa, sb)
+  }
+
+  /** max over name x name, aliasA x aliasB, aliasA x nameB, nameA x aliasB of
+    * the pairwise function `f`. Alias max defaults to 0.0 when there are no
+    * alias pairs (reference `max(alias_scores) if alias_scores else 0.0`). */
+  def crossMax(nameA: String, aliasesA: Seq[String], nameB: String, aliasesB: Seq[String])(
+      f: (String, String) => Double): Double = {
+    var best = f(nameA, nameB)
+    var aliasBest = if (aliasesA.isEmpty && aliasesB.isEmpty) 0.0 else Double.MinValue
+    for (x <- aliasesA; y <- aliasesB) aliasBest = math.max(aliasBest, f(x, y))
+    for (x <- aliasesA) aliasBest = math.max(aliasBest, f(x, nameB))
+    for (y <- aliasesB) aliasBest = math.max(aliasBest, f(nameA, y))
+    if (aliasBest == Double.MinValue) aliasBest = 0.0
+    math.max(best, aliasBest)
+  }
+
+  def fuzzScore(nameA: String, aliasesA: Seq[String], nameB: String, aliasesB: Seq[String]): Double =
+    crossMax(nameA, aliasesA, nameB, aliasesB)(tokenSortRatio)
+
+  def levScore(nameA: String, aliasesA: Seq[String], nameB: String, aliasesB: Seq[String]): Double =
+    crossMax(nameA, aliasesA, nameB, aliasesB)(levRatio)
+
+  // ---------------------------------------------------------------- embedding
+
+  /** Deterministic hashed char-n-gram embedding (feature hashing with sign
+    * trick), L2-normalized. Same text => same vector on every JVM
+    * (MurmurHash3 over the UTF-16 chars is platform-stable). */
+  def embed(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    val s = text.toLowerCase
+    var n = 2
+    while (n <= 3) {
+      var i = 0
+      val limit = s.length - n
+      while (i <= limit) {
+        val h = MurmurHash3.stringHash(s.substring(i, i + n), 0x9747b28c)
+        val idx = java.lang.Math.floorMod(h, dim)
+        if ((h & 0x80000000) == 0) v(idx) += 1f else v(idx) -= 1f
+        i += 1
+      }
+      n += 1
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Token TF cosine between two texts, in [0,1]; deterministic surrogate for
+    * the CrossEncoder (see object doc). */
+  def contextScore(a: String, b: String): Double = {
+    val ta = tokens(a.toLowerCase); val tb = tokens(b.toLowerCase)
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val ma = ta.groupBy(identity).map { case (k, v) => (k, v.length.toDouble) }
+    val mb = tb.groupBy(identity).map { case (k, v) => (k, v.length.toDouble) }
+    var dot = 0.0
+    for ((k, ca) <- ma; cb <- mb.get(k)) dot += ca * cb
+    val na = math.sqrt(ma.valuesIterator.map(x => x * x).sum)
+    val nb = math.sqrt(mb.valuesIterator.map(x => x * x).sum)
+    val c = dot / (na * nb)
+    math.min(1.0, math.max(0.0, c))
+  }
+
+  /** Char n-grams of a lowercased surface, for blocking keys. */
+  def blockingGrams(surface: String, n: Int): Array[String] = {
+    val s = surface.toLowerCase
+    if (s.length <= n) Array(s)
+    else Array.tabulate(s.length - n + 1)(i => s.substring(i, i + n)).distinct
+  }
+}
