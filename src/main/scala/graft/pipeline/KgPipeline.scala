@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftConfig
+import graft.model.{EntityRecord, Turn}
+
+/** End-to-end KG construction: transcripts -> mentions -> blocked candidate
+  * join -> fused scoring -> decisions -> canonicalization -> triples.
+  * One declarative Catalyst plan per stage; stages optionally checkpointed
+  * for resume (north_rule).
+  *
+  * Spark restatement of the reference's per-request flow (SURVEY.md §3.1):
+  * boundaries that were HTTP/bolt/native-thread hops become shuffles chosen
+  * by Catalyst/AQE; the whole-corpus batch replaces record-at-a-time calls.
+  */
+object KgPipeline {
+
+  final case class Outputs(
+      mentions: DataFrame,
+      decisions: DataFrame,
+      components: DataFrame,
+      triples: DataFrame,
+      decisionStats: DataFrame)
+
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      dict: Seq[EntityRecord],
+      cfg: GraftConfig = GraftConfig.default,
+      checkpointRoot: Option[String] = None,
+      runId: String = "run_0"): Outputs = {
+
+    val cp = new Checkpoints(spark, checkpointRoot, runId)
+
+    val entities = EntityStore.prepare(spark, dict, cfg).cache()
+
+    val mentions = cp.stage("mentions") {
+      MentionStage.detect(spark, turns, dict).toDF()
+    }
+
+    val decisions = cp.stage("decisions") {
+      val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
+        .select("mention_id", "surface", "mention_type", "m_x1", "m_emb").cache()
+      val mentionB = Blocking.mentionBlocks(mentions, cfg)
+      val entityB = Blocking.entityBlocks(entities, cfg)
+      // mention-side hot keys: > ~1% of mentions sharing one key => salt
+      val mentionCount = math.max(mentions.count(), 1L)
+      val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
+      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
+      val scored = Scorer.scorePairs(pairs, mentionsPrep, entities, cfg)
+      Scorer.decide(spark, mentions, scored, cfg)
+    }
+
+    val components = cp.stage("components") {
+      val edges = Scorer.entityDupEdges(Blocking.entityBlocks(entities, cfg), entities, cfg)
+      val vertices = entities.select(col("id"))
+        .union(decisions.filter(col("resolved_id").isNotNull).select(col("resolved_id").as("id")))
+        .distinct()
+      ConnectedComponents.run(vertices, edges)
+    }
+
+    val triples = cp.stage("triples") {
+      TripleEmitter.all(entities, decisions, components)
+    }
+
+    // decision-rate stats (reference get_decision_statistics analog,
+    // /root/reference/services/disambiguation.py:487-509)
+    val decisionStats = decisions.groupBy("decision").agg(count(lit(1)).as("n"))
+
+    Outputs(mentions, decisions, components, triples, decisionStats)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.Turn
+
+/** Transcript input per BASELINE.json input_hint: (conv_id, turn_idx, role,
+  * text, tool, ts). Iceberg-shaped; partitioned Parquet in this sandbox
+  * (no Iceberg jar under /opt/spark/jars) — the format is a config seam.
+  *
+  * Stable ordering invariant (north_rule "per-turn text equality under
+  * stable (conv_id, turn_idx) ordering"): conversations are co-located by
+  * repartitioning on conv_id and sorted within partitions, so any
+  * per-conversation processing sees turns in turn_idx order regardless of
+  * parallelism level.
+  */
+object TranscriptSource {
+
+  def read(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    stableOrder(spark.read.parquet(path).as[Turn])
+  }
+
+  def fromSeq(spark: SparkSession, turns: Seq[Turn], partitions: Int = 0): Dataset[Turn] = {
+    import spark.implicits._
+    val ds = spark.createDataset(turns)
+    stableOrder(if (partitions > 0) ds.repartition(partitions) else ds)
+  }
+
+  def stableOrder(ds: Dataset[Turn]): Dataset[Turn] = {
+    import ds.sparkSession.implicits._
+    ds.repartition($"conv_id").sortWithinPartitions($"conv_id", $"turn_idx")
+  }
+
+  def write(ds: Dataset[Turn], path: String): Unit =
+    ds.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** (subj, pred, obj) triple materialization — the engine's graph surface
+  * (Neo4j node properties + RELATIONSHIP edges in the reference,
+  * /root/reference/services/neo4j_database.py:144-155, 411-417, jointly
+  * carry exactly this information; SURVEY.md §7.1 triple vocabulary).
+  *
+  * Written partitioned by pred (+ low-cardinality pred vocabulary =>
+  * partition pruning for per-predicate queries at 100TB scale).
+  */
+object TripleEmitter {
+
+  /** Entity property triples: (id, type|alias|attr:<k>|source, value). */
+  def entityTriples(entities: DataFrame): DataFrame = {
+    val typeT = entities.filter(col("entity_type").isNotNull)
+      .select(col("id").as("subj"), lit("type").as("pred"), col("entity_type").as("obj"))
+    val aliasT = entities
+      .select(col("id").as("subj"), lit("alias").as("pred"), explode(col("aliases")).as("obj"))
+    val attrT = entities
+      .select(col("id").as("subj"), explode(col("attributes")).as(Seq("k", "vs")))
+      .select(col("subj"), concat(lit("attr:"), col("k")).as("pred"), explode(col("vs")).as("obj"))
+    val sourceT = entities.filter(col("source").isNotNull)
+      .select(col("id").as("subj"), lit("source").as("pred"), col("source").as("obj"))
+    typeT.union(aliasT).union(attrT).union(sourceT)
+  }
+
+  /** same_as triples from the CC labels: every non-canonical member points
+    * at its component's canonical id. */
+  def sameAsTriples(components: DataFrame): DataFrame =
+    components.filter(col("id") =!= col("component"))
+      .select(col("id").as("subj"), lit("same_as").as("pred"), col("component").as("obj"))
+
+  /** (conv_id#turn_idx, mentions, canonical entity) from decisions.
+    * resolved ids are rewritten through the canonical mapping; ambiguous
+    * mentions (resolved_id null) emit nothing. distinct: the same entity
+    * mentioned twice in a turn is one triple. */
+  def mentionTriples(decisions: DataFrame, components: DataFrame): DataFrame =
+    decisions.filter(col("resolved_id").isNotNull)
+      .join(components.withColumnRenamed("id", "resolved_id"), Seq("resolved_id"), "left_outer")
+      .select(
+        concat(col("conv_id"), lit("#"), col("turn_idx")).as("subj"),
+        lit("mentions").as("pred"),
+        coalesce(col("component"), col("resolved_id")).as("obj"))
+      .distinct()
+
+  def all(entities: DataFrame, decisions: DataFrame, components: DataFrame): DataFrame =
+    entityTriples(entities)
+      .union(sameAsTriples(components))
+      .union(mentionTriples(decisions, components))
+      .distinct()
+
+  def write(triples: DataFrame, path: String): Unit =
+    triples.write.mode("overwrite").partitionBy("pred").parquet(path)
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.fixtures.Synth
+import graft.model.Triple
+import graft.oracle.Oracle
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val cfg = GraftConfig.default
+  val spec = Synth.Spec(nConv = 30, turnsPerConv = 8)
+  lazy val dict = Synth.dictionary(spec)
+  lazy val turns = Synth.transcripts(spec, dict)
+  lazy val golden = Oracle.run(turns, dict, cfg)
+
+  def runPipeline(partitions: Int): Set[Triple] = {
+    import spark.implicits._
+    val out = KgPipeline.run(spark,
+      TranscriptSource.fromSeq(spark, turns, partitions), dict, cfg)
+    out.triples.select("subj", "pred", "obj").as[Triple].collect().toSet
+  }
+
+  test("engine triples match golden oracle at P/R >= 0.95 (north_rule)") {
+    val engine = runPipeline(4)
+    val (p, r) = Oracle.precisionRecall(engine, golden.triples)
+    withClue(f"P=$p%.4f R=$r%.4f missing=${golden.triples.diff(engine).take(3)} extra=${engine.diff(golden.triples).take(3)}") {
+      assert(p >= 0.95 && r >= 0.95)
+    }
+  }
+
+  test("triples are identical across parallelism levels (partition-count independence)") {
+    assert(runPipeline(2) == runPipeline(13))
+  }
+
+  test("decisions cover all three branches and stats match the oracle") {
+    import spark.implicits._
+    val out = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg)
+    val stats = out.decisionStats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val goldenStats = golden.decisions.groupBy(_.decision).view.mapValues(_.size.toLong).toMap
+    // per-mention decisions may diverge on blocking-recall misses; the
+    // distribution must stay within the same P/R tolerance
+    val total = golden.decisions.size.toDouble
+    for (k <- goldenStats.keySet ++ stats.keySet) {
+      val d = math.abs(stats.getOrElse(k, 0L) - goldenStats.getOrElse(k, 0L))
+      withClue(s"decision $k engine=${stats.get(k)} oracle=${goldenStats.get(k)}") {
+        assert(d / total <= 0.05)
+      }
+    }
+    assert(stats.keySet == Set("merge", "create", "ambiguous"))
+  }
+
+  test("checkpoint-resume: rerun skips completed stages; partial delete resumes byte-identically") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cp").toString
+    def run() = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg,
+      checkpointRoot = Some(root), runId = "t1")
+    val first = run()
+    val t1 = first.triples.select("subj", "pred", "obj").as[Triple].collect().toSet
+    val cp = new Checkpoints(spark, Some(root), "t1")
+    assert(Seq("mentions", "decisions", "components", "triples").forall(cp.isDone))
+    // full rerun: resume everything
+    val t2 = run().triples.select("subj", "pred", "obj").as[Triple].collect().toSet
+    assert(t2 == t1)
+    // kill-after-stage-2 simulation: downstream outputs lost, upstream kept
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/components")).deleteRecursively()
+    new Directory(new java.io.File(s"$root/triples")).deleteRecursively()
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$root/components.manifest.json"))
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$root/triples.manifest.json"))
+    val t3 = run().triples.select("subj", "pred", "obj").as[Triple].collect().toSet
+    assert(t3 == t1)
+  }
+
+  test("manifest carries per-partition lineage") {
+    val root = Files.createTempDirectory("graft_cp2").toString
+    KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg,
+      checkpointRoot = Some(root), runId = "t2")
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$root/mentions.manifest.json"))
+    assert(manifest.contains("\"done\":true"))
+    assert(manifest.contains("\"partitions\":[{\"file\":"))
+    assert(manifest.contains("\"run_id\":\"t2\""))
+  }
+}
