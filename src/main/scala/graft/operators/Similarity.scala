@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Numeric discipline: vectors are cast element-wise to double and the dot
+  * product is a sequential left fold (`aggregate`), so the result is
+  * bit-identical to the DuckDB oracle's `list_sum([a[i]*b[i] ...])` — no
+  * tolerance windows in the correctness gate.
+  *
+  * Scale paths:
+  *  - bruteForceTopK: exact; the query side is tiny and broadcast, the
+  *    corpus side streams — per-partition top-k via window. This is the
+  *    semantics baseline (FAISS IndexFlatIP is itself exact brute force —
+  *    /root/reference/services/vectorization.py:516-519).
+  *  - ivfTopK: IVF coarse quantizer (Lloyd iterations over the corpus,
+  *    centroids collected — model-sized, not data-sized), cell assignment
+  *    once per vector, probes restricted to nprobe nearest cells: turns the
+  *    all-pairs join into a cell-equi-join, which is the 100TB shape.
+  */
+object Similarity {
+
+  /** Element-wise double cast. */
+  def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product (deterministic association order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineCol(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Corpus with precomputed double vector + norm. */
+  def prep(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), dvec(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact top-k by cosine for each query vector (queries broadcast).
+    * Deterministic rank: (cosine desc, vec_id asc). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = corpus.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosineCol(col("qv"), col("v"), col("qn"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"), col("cosine"))
+  }
+
+  /** Deterministic Lloyd k-means over the prepped corpus. Centroid
+    * coordinates are rounded each iteration so float-accumulation order
+    * (which varies with partitioning) cannot leak into assignments —
+    * output is identical at any parallelism level. Returns (cell ->
+    * centroid) as a driver-side model (C*dim doubles: model-sized). */
+  def kmeans(corpus: DataFrame, c: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[(Int, Array[Double])] =
+      corpus.orderBy("vec_id").limit(c).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getAs[Seq[Double]]("v").toArray) }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignU = udf((v: Seq[Double]) => nearestCell(v.toArray, bc.value))
+      val dim = centroids.head._2.length
+      val assigned = corpus.withColumn("cell", assignU(col("v")))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      centroids = sums.groupBy(_.getAs[Int]("cell")).toArray.sortBy(_._1).map {
+        case (cell, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach { r =>
+            // round(6) kills partial-agg association-order noise
+            arr(r.getAs[Int]("pos")) =
+              math.rint(r.getAs[Double]("s") / r.getAs[Long]("n") * 1e6) / 1e6
+          }
+          (cell, arr)
+      }
+    }
+    centroids
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  def nearestCell(v: Array[Double], cents: Array[(Int, Array[Double])]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    cents.foreach { case (c, cv) =>
+      val d = sqDist(v, cv)
+      if (d < bestD || (d == bestD && c < best)) { best = c; bestD = d }
+    }
+    best
+  }
+
+  def nearestCells(v: Array[Double], cents: Array[(Int, Array[Double])], nprobe: Int): Seq[Int] =
+    cents.map { case (c, cv) => (sqDist(v, cv), c) }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** IVF approximate top-k: assign corpus to cells once, probe the nprobe
+    * nearest cells per query, exact cosine within the probed cells. The
+    * expensive join is an equi-join on `cell` instead of a cross join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              c: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val model = kmeans(corpus, c, iters)
+    val bc = spark.sparkContext.broadcast(model)
+    val assignU = udf((v: Seq[Double]) => nearestCell(v.toArray, bc.value))
+    val probeU = udf((v: Seq[Double]) => nearestCells(v.toArray, bc.value, nprobe))
+    val cells = corpus.withColumn("cell", assignU(col("v")))
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("cell", explode(probeU(col("qv")))))
+    val scored = cells.join(q, "cell").filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosineCol(col("qv"), col("v"), col("qn"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs between a (small, broadcast) probe set
+    * and the corpus. */
+  def cosineNearDup(corpus: DataFrame, probes: DataFrame, tau: Double): DataFrame =
+    corpus.join(
+        broadcast(probes.select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosineCol(col("pv"), col("v"), col("pn"), col("nrm")))
+      .filter(col("cosine") >= tau)
+      .select("probe_id", "vec_id", "cosine")
+}

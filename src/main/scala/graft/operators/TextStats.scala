@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a documents table: token counting, quality
+  * scoring, language ID, fingerprinting. All narrow (per-row) Catalyst
+  * expressions — no shuffle, fully codegen'd, and each has an exact ANSI-SQL
+  * twin for the DuckDB oracle (ratios are single divisions of exact ints).
+  */
+object TextStats {
+
+  /** Stopword list shared with the SQL oracle (quality scoring). */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "for", "that", "with", "this", "from", "have", "are", "was",
+    "not", "but", "his", "her", "they", "you", "all", "can", "had", "one")
+
+  /** Language marker words (tiny function-word sets; the ID heuristic is
+    * hit-count argmax with deterministic ties). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit", "ist", "ein"),
+    "en" -> Seq("the", "and", "for", "that", "with", "this", "from", "have"),
+    "es" -> Seq("el", "los", "las", "que", "para", "con", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "pour", "avec", "est", "dans"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "wo3", "ta1"))
+
+  /** doc_id, n_chars, whitespace-token and BPE-ish-token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(TextOps.words(col("text"))).cast("long").as("n_ws_tokens"),
+      size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+
+  /** Quality features + keep flag. avg_word_len and ratios are divisions of
+    * exact integer counts (bit-identical cross-engine). */
+  def quality(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nWords = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nPunct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
+    val nStop = TextOps.markerHits(ws, stopwords)
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nWords.as("n_words"),
+        (sumLen / nWords).as("avg_word_len"),
+        (nPunct / length(col("text")).cast("long")).as("punct_ratio"),
+        (nStop / nWords).as("stopword_ratio"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("avg_word_len") <= 12.0 && col("punct_ratio") <= 0.2)
+  }
+
+  /** Marker-hit counts per language + argmax prediction ('und' on zero
+    * hits; ties broken by language code asc — encoded as a fixed-order
+    * strictly-greater chain, same shape as the SQL CASE). */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(lower(col("text")))
+    val hitCols = langMarkers.map { case (lang, markers) =>
+      TextOps.markerHits(ws, markers).as(s"hits_$lang")
+    }
+    val withHits = docs.select((col("doc_id") +: hitCols): _*)
+    // argmax with lang-asc tiebreak: lang L wins iff hits_L > hits_M for all
+    // M < L and hits_L >= hits_M for all M > L (langMarkers is sorted asc)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und")) { (lang, elseExpr) =>
+      val h = col(s"hits_$lang")
+      val beatsEarlier = langs.takeWhile(_ != lang)
+        .map(m => h > col(s"hits_$m")).foldLeft(lit(true))(_ && _)
+      val beatsLater = langs.dropWhile(_ != lang).drop(1)
+        .map(m => h >= col(s"hits_$m")).foldLeft(lit(true))(_ && _)
+      when(h > 0 && beatsEarlier && beatsLater, lit(lang)).otherwise(elseExpr)
+    }
+    withHits.withColumn("predicted_lang", pred)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercased text
+    * (exact-dup detection key, SQL-reproducible). */
+  def contentFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fingerprint"))
+
+  /** Winnowing fingerprint (rolling hash): k-gram char hashes, min per
+    * sliding window of w — the standard local document fingerprint. Emitted
+    * as per-doc summary (count / min / max of selected hashes). */
+  def winnowSelect(text: String, k: Int, w: Int): Array[Long] = {
+    val s = text.toLowerCase
+    if (s.length < k) return Array.empty
+    val grams = Array.tabulate(s.length - k + 1)(i => Dedup.hash64(s.substring(i, i + k), 0x6b43a9b5))
+    if (grams.length <= w) return Array(grams.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + w <= grams.length) {
+      var m = grams(i); var j = i + 1
+      while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = udf((text: String) => winnowSelect(if (text == null) "" else text, k, w))
+    docs.select(col("doc_id"), fp(col("text")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+  }
+}
