@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing) over small deterministic in-memory
+  * corpora with planted duplicates — semantics that the driver's DuckDB
+  * oracle can't express (LSH recall, IVF recall, winnowing, checksums)
+  * are pinned here instead. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.util.Random
+
+  /** Deterministic corpus: 60 base docs + 15 near-dups (last 2 words
+    * dropped) + 5 exact dups. */
+  lazy val docs: DataFrame = {
+    val rnd = new Random(7L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val base = (0 until 60).map { i =>
+      val words = (0 until 18 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.take(15).map { case (id, t) =>
+      (id + 1000L, t.split(" ").dropRight(2).mkString(" "))
+    }
+    val exactDups = base.slice(20, 25).map { case (id, t) => (id + 2000L, t) }
+    import spark.implicits._
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  lazy val sets: DataFrame = Dedup.shingleSets(docs, n = 3, maxDf = 100L).cache()
+
+  test("exact dedup groups exact copies under one representative") {
+    val groups = Dedup.exact(docs).filter(col("n_dups") > 1).collect()
+    assert(groups.length == 5)
+    assert(groups.forall(_.getAs[Long]("rep_id") < 60L)) // min id wins
+  }
+
+  test("ngram-jaccard finds exactly the planted near/exact dup pairs at tau=0.6") {
+    val pairs = Dedup.jaccardPairs(sets, 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedNear = (0 until 15).map(i => (i.toLong, i + 1000L)).toSet
+    val expectedExact = (20 until 25).map(i => (i.toLong, i + 2000L)).toSet
+    assert((expectedNear ++ expectedExact).subsetOf(pairs))
+    // no false positives among unrelated base docs
+    assert(!pairs.exists { case (a, b) => a < 60 && b < 60 })
+  }
+
+  test("minhash-LSH verified pairs equal the exhaustive jaccard join (recall 1 here)") {
+    val exhaustive = Dedup.jaccardPairs(sets, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(sets, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exhaustive)
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val a = (1 to 100).map(i => s"sh$i")
+    val b = (21 to 120).map(i => s"sh$i") // true jaccard = 80/120 = 0.667
+    val (sa, sb) = (Dedup.minhashSig(a, 128), Dedup.minhashSig(b, 128))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - 0.667) < 0.15)
+  }
+
+  test("simhash: identical texts collide, near-dups are close, and banded pairs catch them") {
+    val sigs = Dedup.simhashSignatures(docs).cache()
+    val byId = sigs.select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (20 until 25).foreach(i => assert(byId(i.toLong) == byId(i + 2000L)))
+    val hamNear = (0 until 15).map(i =>
+      java.lang.Long.bitCount(byId(i.toLong) ^ byId(i + 1000L)))
+    assert(hamNear.forall(_ <= 12))
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (20 until 25).foreach(i => assert(pairs.contains((i.toLong, i + 2000L))))
+  }
+
+  test("firstWins keeps exactly one row per key, the earliest") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
+      .toDF("k1", "k2", "ord")
+    val out = Dedup.firstWins(df, Seq("k1", "k2"), Seq(col("ord")))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map((1L, "a") -> 1L, (1L, "b") -> 2L, (2L, "a") -> 9L))
+  }
+
+  /** Deterministic embeddings: 80 vectors in 8 clusters of 10 (cluster
+    * center + small per-vector offset). */
+  lazy val emb: DataFrame = {
+    val rnd = new Random(11L)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rnd.nextDouble() * 2 - 1)
+    val rows = (0 until 80).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => (x + (rnd.nextDouble() - 0.5) * 0.1).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: neighbors of a vector are its cluster-mates") {
+    val corpus = Similarity.prep(emb).cache()
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 5)
+      .collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getAs[Long]("vec_id") % 8 == 0)) // same cluster mod 8
+    assert(top.map(_.getAs[Long]("rnk")).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("IVF top-k achieves high recall vs brute force and is deterministic") {
+    val corpus = Similarity.prep(emb).cache()
+    val queries = corpus.filter(col("vec_id") < 8).cache()
+    def key(df: DataFrame) = df.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = key(Similarity.bruteForceTopK(corpus, queries, 5))
+    val ivf1 = key(Similarity.ivfTopK(corpus, queries, 5, c = 8, iters = 3, nprobe = 2))
+    val ivf2 = key(Similarity.ivfTopK(corpus.repartition(7), queries, 5, c = 8, iters = 3, nprobe = 2))
+    assert(ivf1 == ivf2) // parallelism-independent
+    val recall = ivf1.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("language ID predicts the marker-dominant language with deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog for that matter"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "el perro que corre para la casa con una luz"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextStats.langId(d).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("quality features: ratios are exact integer divisions") {
+    import spark.implicits._
+    val d = Seq((1L, "the aa, bb!! cc dd")).toDF("doc_id", "text")
+    val r = TextStats.quality(d).collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Double]("punct_ratio") == 3.0 / 18.0)
+    assert(r.getAs[Double]("stopword_ratio") == 1.0 / 5.0)
+  }
+
+  test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
+    val a = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)
+    val b = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)
+    assert(a.sameElements(b))
+    val c = TextStats.winnowSelect("PREFIX the quick brown fox jumps over the lazy dog", 8, 4)
+    assert(a.intersect(c).length.toDouble / a.length >= 0.6)
+  }
+
+  test("multimodal decode stub: deterministic features incl. checksum, partition-count independent") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(f1.sameElements(f2))
+    val first = f1.head
+    val text = docs.filter(col("doc_id") === first.doc_id)
+      .collect().head.getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    assert(first.n_bytes == bytes.length.toLong)
+    assert(first.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 9973L)
+    assert(first.width == 1L + (bytes(0) & 0xff) % 64)
+  }
+}
