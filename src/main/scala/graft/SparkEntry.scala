@@ -106,7 +106,7 @@ object SparkEntry {
       val entities = graft.pipeline.EntityStore.prepare(s, dict, cfg)
       val mentionsPrep = Scorer.prepareMentions(out.mentions, cfg)
         .select("mention_id", "surface", "mention_type", "m_x1", "m_emb")
-      val mB = graft.pipeline.Blocking.mentionBlocks(out.mentions, cfg)
+      val mB = graft.pipeline.Blocking.mentionBlocks(mentionsPrep, cfg)
       val eB = graft.pipeline.Blocking.entityBlocks(entities, cfg)
       val pairs = graft.pipeline.Blocking.candidatePairs(s, mB, eB, cfg, Set.empty)
       Scorer.topK(Scorer.scorePairs(pairs, mentionsPrep, entities, cfg), cfg.topK)

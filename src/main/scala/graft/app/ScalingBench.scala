@@ -1,0 +1,70 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import graft.core.GraftConfig
+import graft.fixtures.Synth
+import graft.pipeline.{KgPipeline, TranscriptSource, TripleEmitter}
+
+/** Scaling-efficiency evidence for the north_rule criterion (throughput
+  * efficiency >= 0.8 from N to 4N executors): runs the SAME end-to-end KG
+  * job — parquet transcripts in, pred-partitioned parquet triples out — at a
+  * given core count, printing one JSON line with wall time and triples/sec.
+  *
+  * The sandbox has no multi-executor cluster, so N vs 4N executors is
+  * evidenced as local[N] vs local[4N] on the same input (per task
+  * instructions). Input generation and write are excluded from the timed
+  * window; the timed window is exactly the pipeline DAG: mention detection,
+  * blocking join, fused scoring, decisions, connected components, triple
+  * emission, and the partitioned sink write.
+  *
+  * Usage: runMain graft.app.ScalingBench [cores] [nConv] [inputDir?]
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args.lift(0).map(_.toInt).getOrElse(32)
+    val nConv = args.lift(1).map(_.toInt).getOrElse(5000)
+    val workDir = args.lift(2).getOrElse(s"/tmp/graft-scaling-$nConv")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = GraftConfig.default
+    val spec = Synth.Spec(nConv = nConv)
+    val dict = Synth.dictionary(spec)
+
+    // input corpus: generate once per nConv, reuse across core counts so
+    // both measurements read the identical parquet bytes
+    val inputPath = s"$workDir/transcripts"
+    if (!new java.io.File(inputPath).exists()) {
+      TranscriptSource.write(
+        TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict)), inputPath)
+    }
+    val turns = TranscriptSource.read(spark, inputPath)
+    val nTurns = turns.count() // warm FS cache; excluded from timing
+
+    def timed[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+
+    val t0 = System.nanoTime()
+    val out = KgPipeline.run(spark, turns, dict, cfg)
+    // stage boundaries materialized so the per-stage split is visible
+    val (_, tMentions) = timed(out.mentions.persist().count())
+    val (_, tDecisions) = timed(out.decisions.persist().count())
+    val (_, tComponents) = timed(out.components.persist().count())
+    val (_, tWrite) = timed(TripleEmitter.write(out.triples, s"$workDir/triples-$cores"))
+    val wall = (System.nanoTime() - t0) / 1e9
+    val nTriples = spark.read.parquet(s"$workDir/triples-$cores").count()
+
+    println(f"""{"bench":"kg_scaling","cores":$cores,"conversations":$nConv,"turns":$nTurns,"triples":$nTriples,"wall_sec":$wall%.2f,"triples_per_sec":${nTriples / wall}%.1f,"turns_per_sec":${nTurns / wall}%.1f,"stage_sec":{"mentions":$tMentions%.2f,"score_decide":$tDecisions%.2f,"components":$tComponents%.2f,"triples_write":$tWrite%.2f}}""")
+    spark.stop()
+  }
+}

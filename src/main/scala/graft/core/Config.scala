@@ -36,6 +36,14 @@ final case class GraftConfig(
     blockMaxDf: Long = 1000L,
     // salting replication factor for hot blocking keys
     saltBuckets: Int = 8,
+    // type blocking channel (reference type branch, disambiguation.py:175-197):
+    // types with more entities than this cap fall back to the LSH channel
+    // (a million-entity type would make the type key a quadratic hot key)
+    typeBlockMaxEntities: Long = 10000L,
+    // embedding sign-LSH blocking channel (the FAISS-retrieval analog):
+    // tables x bits sign-hyperplane buckets over the embedding column
+    lshTables: Int = 4,
+    lshBits: Int = 12,
     forceDecision: Boolean = false
 ) {
   def midThreshold: Double = (highThreshold + lowThreshold) / 2.0

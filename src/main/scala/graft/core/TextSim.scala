@@ -181,6 +181,44 @@ object TextSim {
     math.min(1.0, math.max(0.0, c))
   }
 
+  // ------------------------------------------------------- embedding LSH
+
+  /** Deterministic random-hyperplane bank: tables x bits planes of dim
+    * floats, values in [-1,1) from platform-stable murmur hashes. Built
+    * once per (tables,bits,dim) and cached — model-sized (KBs). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Float]]]()
+
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent((tables, bits, dim), _ =>
+      Array.tabulate(tables * bits) { p =>
+        Array.tabulate(dim) { i =>
+          val h = MurmurHash3.productHash((p, i), 0x3c6ef372)
+          (h / 2147483648.0).toFloat
+        }
+      })
+
+  /** Sign-LSH bucket keys for a vector: `tables` independent keys of `bits`
+    * sign bits each — the blocking analog of FAISS coarse retrieval. Two
+    * vectors at cosine c collide per table with prob (1 - acos(c)/pi)^bits;
+    * multiple tables drive recall up without widening buckets. */
+  def lshKeys(v: Array[Float], tables: Int, bits: Int): Array[String] = {
+    val pl = planes(tables, bits, v.length)
+    Array.tabulate(tables) { t =>
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = pl(t * bits + b)
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * plane(i); i += 1 }
+        if (dot > 0) key |= (1L << b)
+        b += 1
+      }
+      "l" + t + ":" + java.lang.Long.toHexString(key)
+    }
+  }
+
   /** Char n-grams of a lowercased surface, for blocking keys. */
   def blockingGrams(surface: String, n: Int): Array[String] = {
     val s = surface.toLowerCase

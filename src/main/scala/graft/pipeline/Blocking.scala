@@ -26,7 +26,22 @@ object Blocking {
     else (surface.toLowerCase.trim +: TextSim.blockingGrams(surface, cfg.blockNgramSize)).distinct
   }
 
-  /** (key, entity_id) blocking index over name + aliases. */
+  def lshKeysUdf(cfg: GraftConfig) = udf { emb: Seq[Float] =>
+    if (emb == null || emb.isEmpty) Array.empty[String]
+    else TextSim.lshKeys(emb.toArray, cfg.lshTables, cfg.lshBits)
+  }
+
+  /** (key, entity_id) blocking index over three channels:
+    *  - full surface + char n-grams of name/aliases (lexical recall; grams
+    *    above cfg.blockMaxDf entity-df are dropped — all cost, no
+    *    selectivity — the full-surface key keeps exact-surface recall);
+    *  - "t:<type>" for types with <= cfg.typeBlockMaxEntities members (the
+    *    reference's type branch scores every same-type entity,
+    *    disambiguation.py:175-197; the cap keeps mega-types off the
+    *    quadratic path at scale);
+    *  - embedding sign-LSH buckets (the FAISS-retrieval analog — catches
+    *    candidates that win on context/embedding with zero name overlap).
+    * `entities` must be EntityStore.prepare-d (has emb). */
   def entityBlocks(entities: DataFrame, cfg: GraftConfig): DataFrame = {
     val keys = blockKeysUdf(cfg)
     val surfaces = entities
@@ -34,22 +49,34 @@ object Blocking {
     val exploded = surfaces
       .select(col("id"), explode(keys(col("surface"))).as("key"))
       .distinct()
-    // df sketch: drop low-selectivity grams, but never the full-surface keys
     val fullSurface = surfaces.select(col("id"), lower(trim(col("surface"))).as("key")).distinct()
     val dfCounts = exploded.groupBy("key").agg(count(lit(1)).as("df"))
-    exploded.join(dfCounts, "key")
+    val grams = exploded.join(dfCounts, "key")
       .filter(col("df") <= cfg.blockMaxDf)
       .select("key", "id")
-      .union(fullSurface.select("key", "id"))
+    val typed = entities.filter(col("entity_type").isNotNull)
+      .select(concat(lit("t:"), col("entity_type")).as("key"), col("id"))
+    val typeCounts = typed.groupBy("key").agg(count(lit(1)).as("tn"))
+    val typeKeys = typed.join(typeCounts, "key")
+      .filter(col("tn") <= cfg.typeBlockMaxEntities).select("key", "id")
+    val lsh = entities.select(col("id"), explode(lshKeysUdf(cfg)(col("emb"))).as("key"))
+      .select("key", "id")
+    grams.union(fullSurface.select("key", "id")).union(typeKeys).union(lsh)
       .distinct()
   }
 
-  /** (key, mention_id) for each mention surface. */
-  def mentionBlocks(mentions: DataFrame, cfg: GraftConfig): DataFrame = {
+  /** (key, mention_id): same three channels on the mention side.
+    * `mentionsPrep` must carry surface, mention_type and m_emb
+    * (Scorer.prepareMentions output). */
+  def mentionBlocks(mentionsPrep: DataFrame, cfg: GraftConfig): DataFrame = {
     val keys = blockKeysUdf(cfg)
-    mentions
+    val lexical = mentionsPrep
       .select(col("mention_id"), explode(keys(col("surface"))).as("key"))
-      .distinct()
+    val typed = mentionsPrep.filter(col("mention_type").isNotNull)
+      .select(col("mention_id"), concat(lit("t:"), col("mention_type")).as("key"))
+    val lsh = mentionsPrep
+      .select(col("mention_id"), explode(lshKeysUdf(cfg)(col("m_emb"))).as("key"))
+    lexical.union(typed.select("mention_id", "key")).union(lsh).distinct()
   }
 
   /** Distinct (mention_id, entity_id) candidate pairs via the key equi-join,
@@ -66,7 +93,10 @@ object Blocking {
     } else {
       val hot = spark.sparkContext.broadcast(hotKeys)
       val isHot = udf((k: String) => hot.value.contains(k))
-      val r = cfg.saltBuckets
+      // salt replication must scale with the cluster, not a constant: a hot
+      // key salted R ways can never exceed R-core parallelism, so R follows
+      // defaultParallelism (= executor cores on a real cluster)
+      val r = math.max(cfg.saltBuckets, spark.sparkContext.defaultParallelism)
       val mSalted = mentionB.withColumn("salt",
         when(isHot(col("key")), pmod(xxhash64(col("mention_id")), lit(r))).otherwise(lit(0L)))
       val allSalts = typedLit[Seq[Long]](0L until r.toLong)

@@ -34,26 +34,28 @@ object KgPipeline {
     val cp = new Checkpoints(spark, checkpointRoot, runId)
 
     val entities = EntityStore.prepare(spark, dict, cfg).cache()
+    // entity-side blocking index: dictionary-sized, reused by the candidate
+    // join AND dictionary self-dedup — compute once
+    val entityB = Blocking.entityBlocks(entities, cfg).cache()
 
     val mentions = cp.stage("mentions") {
       MentionStage.detect(spark, turns, dict).toDF()
-    }
+    }.persist() // reused by blocking, scoring prep, decide-join, count
 
     val decisions = cp.stage("decisions") {
       val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
         .select("mention_id", "surface", "mention_type", "m_x1", "m_emb").cache()
-      val mentionB = Blocking.mentionBlocks(mentions, cfg)
-      val entityB = Blocking.entityBlocks(entities, cfg)
+      val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg).persist()
       // mention-side hot keys: > ~1% of mentions sharing one key => salt
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
       val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
       val scored = Scorer.scorePairs(pairs, mentionsPrep, entities, cfg)
       Scorer.decide(spark, mentions, scored, cfg)
-    }
+    }.persist() // reused by components, triples, stats
 
     val components = cp.stage("components") {
-      val edges = Scorer.entityDupEdges(Blocking.entityBlocks(entities, cfg), entities, cfg)
+      val edges = Scorer.entityDupEdges(entityB, entities, cfg)
       val vertices = entities.select(col("id"))
         .union(decisions.filter(col("resolved_id").isNotNull).select(col("resolved_id").as("id")))
         .distinct()
