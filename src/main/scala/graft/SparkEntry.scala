@@ -105,7 +105,7 @@ object SparkEntry {
       val dict = Synth.dictionary(spec)
       val entities = graft.pipeline.EntityStore.prepare(s, dict, cfg)
       val mentionsPrep = Scorer.prepareMentions(out.mentions, cfg)
-        .select("mention_id", "surface", "mention_type", "m_x1", "m_emb")
+        .select(Scorer.mentionPrepCols.map(col): _*)
       val mB = graft.pipeline.Blocking.mentionBlocks(mentionsPrep, cfg)
       val eB = graft.pipeline.Blocking.entityBlocks(entities, cfg)
       val pairs = graft.pipeline.Blocking.candidatePairs(s, mB, eB, cfg, Set.empty)
@@ -113,12 +113,42 @@ object SparkEntry {
         .select("mention_id", "entity_id", "rank", "final_score")
     }),
 
+    // X13 similarity-details + X14 reasoning text over the decisions
+    // (reference similarity_details disambiguation.py:439-463 and the
+    // reasoning templates :388-407 — engine uses stable English templates,
+    // a documented divergence from the Chinese originals)
+    "kg_decisions_explained" -> ((s, dir) => kg(s, dir).decisions
+      .select(col("mention_id"), col("decision"),
+        format_string("bge=%.4f cross=%.4f fuzz=%.4f lev=%.4f final=%.4f",
+          col("bge_score"), col("cross_encoder_score"), col("fuzz_score"),
+          col("levenshtein_score"), col("final_score")).as("similarity_details"),
+        when(col("decision") === "merge",
+            format_string("final %.4f >= high threshold 0.72: merge with %s",
+              col("final_score"), col("match_id")))
+          .when(col("decision") === "create",
+            format_string("final %.4f <= low threshold 0.60: create new entity",
+              col("final_score")))
+          .otherwise(format_string("final %.4f between thresholds: ambiguous",
+            col("final_score"))).as("reasoning"))),
+
     // ---- scans / filters / joins / windows (SURVEY §2.1-2.6 analogs)
     "s1_scan_order" -> ((s, dir) => tbl(s, dir, "documents")
       .select("doc_id", "source", "n_chars")
       .orderBy(col("n_chars").desc, col("doc_id"))),
+    "s2_point_lookup" -> ((s, dir) => tbl(s, dir, "documents")
+      .filter(col("doc_id").isin(7L, 42L, 123L))
+      .select("doc_id", "lang", "n_chars")),
     "s3_filter_type" -> ((s, dir) => tbl(s, dir, "documents")
       .filter(col("lang") === "en").select("doc_id", "lang", "n_chars")),
+    // S5 merge-upsert emulated as keep-latest rewrite (Iceberg MERGE INTO
+    // at scale; union + row_number here — SURVEY.md S5)
+    "s5_upsert_keeplatest" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), lit(0L).as("ver"))
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), (col("n_chars") + 8L).as("n_chars"), lit(1L).as("ver"))
+      Dedup.firstWins(base.union(updates), Seq("doc_id"), Seq(col("ver").desc))
+    }),
     "s4_substring_search" -> ((s, dir) => tbl(s, dir, "documents")
       .filter(col("text").contains("spark")).select("doc_id", "n_chars")
       .orderBy("doc_id").limit(100)),
@@ -251,8 +281,17 @@ object SparkEntry {
     Map(
       "s1_scan_order" ->
         "SELECT doc_id, source, n_chars FROM documents ORDER BY n_chars DESC, doc_id",
+      "s2_point_lookup" ->
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (7, 42, 123)",
       "s3_filter_type" ->
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+      "s5_upsert_keeplatest" ->
+        ("SELECT doc_id, n_chars, ver FROM (" +
+          "SELECT doc_id, n_chars, ver, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY ver DESC) AS rn FROM (" +
+          "SELECT doc_id, n_chars, 0::BIGINT AS ver FROM documents " +
+          "UNION ALL SELECT doc_id, n_chars + 8, 1::BIGINT FROM documents WHERE doc_id % 10 = 0" +
+          ")) WHERE rn = 1"),
       "s4_substring_search" ->
         "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' ORDER BY doc_id LIMIT 100",
       "s7_onehop_join" ->

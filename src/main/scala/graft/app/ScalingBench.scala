@@ -36,6 +36,19 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional stage-level profile (GRAFT_PROFILE=1): wall + summed task
+    // time per stage, to find serial bottlenecks and skew
+    if (sys.env.get("GRAFT_PROFILE").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+          System.err.println(f"[stage ${si.stageId}%4d] tasks=${si.numTasks}%4d wall=${wall / 1000.0}%7.2fs taskTime=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.2fs ${si.name.takeWhile(_ != '\n').take(80)}")
+        }
+      })
+    }
+
     val cfg = GraftConfig.default
     val spec = Synth.Spec(nConv = nConv)
     val dict = Synth.dictionary(spec)

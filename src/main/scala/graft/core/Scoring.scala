@@ -44,7 +44,10 @@ object Scoring {
     }
 
   /** Fused pair scorer: one pass over the alias cross-product, all 5 scores.
-    * `bge` is cosine over the deterministic embeddings of the X2 texts. */
+    * `bge` is cosine over the deterministic embeddings of the X2 texts.
+    * Delegates to the prepped variant so every caller (oracle, Spark UDF,
+    * tests) computes the context score through the identical code path —
+    * bit-exact across engines and parallelism levels. */
   def pairScore(
       nameA: String,
       aliasesA: Seq[String],
@@ -56,9 +59,27 @@ object Scoring {
       typeB: Option[String],
       textB: String,
       embB: Array[Float],
+      cfg: GraftConfig): EntityScore =
+    pairScorePrepped(
+      nameA, aliasesA, typeA, TextSim.tfVector(textA), embA,
+      nameB, aliasesB, typeB, TextSim.tfVector(textB), embB, cfg)
+
+  /** Hot-path variant with the per-side TF vectors precomputed (once per
+    * mention/entity, not once per candidate pair). */
+  def pairScorePrepped(
+      nameA: String,
+      aliasesA: Seq[String],
+      typeA: Option[String],
+      tfA: TextSim.TfVec,
+      embA: Array[Float],
+      nameB: String,
+      aliasesB: Seq[String],
+      typeB: Option[String],
+      tfB: TextSim.TfVec,
+      embB: Array[Float],
       cfg: GraftConfig): EntityScore = {
     val bge = TextSim.cosine(embA, embB)
-    val ce = TextSim.contextScore(textA, textB)
+    val ce = TextSim.tfCosine(tfA, tfB)
     val fuzz = TextSim.fuzzScore(nameA, aliasesA, nameB, aliasesB)
     val lev = TextSim.levScore(nameA, aliasesA, nameB, aliasesB)
     val weighted =

@@ -124,6 +124,23 @@ object TextSim {
 
   // ---------------------------------------------------------------- embedding
 
+  /** murmur3 of the char range [from, from+len) of `s` — bit-identical to
+    * MurmurHash3.stringHash(s.substring(from, from+len), seed) without the
+    * substring allocation (the embed hot loop would otherwise allocate one
+    * substring per n-gram position: billions of objects at corpus scale,
+    * which saturates the allocator and caps multi-core scaling). */
+  def rangeHash(s: String, from: Int, len: Int, seed: Int): Int = {
+    var h = seed
+    var i = 0
+    while (i + 1 < len) {
+      val data = (s.charAt(from + i) << 16) + s.charAt(from + i + 1)
+      h = MurmurHash3.mix(h, data)
+      i += 2
+    }
+    if (i < len) h = MurmurHash3.mixLast(h, s.charAt(from + i).toInt)
+    MurmurHash3.finalizeHash(h, len)
+  }
+
   /** Deterministic hashed char-n-gram embedding (feature hashing with sign
     * trick), L2-normalized. Same text => same vector on every JVM
     * (MurmurHash3 over the UTF-16 chars is platform-stable). */
@@ -135,7 +152,7 @@ object TextSim {
       var i = 0
       val limit = s.length - n
       while (i <= limit) {
-        val h = MurmurHash3.stringHash(s.substring(i, i + n), 0x9747b28c)
+        val h = rangeHash(s, i, n, 0x9747b28c)
         val idx = java.lang.Math.floorMod(h, dim)
         if ((h & 0x80000000) == 0) v(idx) += 1f else v(idx) -= 1f
         i += 1
@@ -166,20 +183,65 @@ object TextSim {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Token TF cosine between two texts, in [0,1]; deterministic surrogate for
-    * the CrossEncoder (see object doc). */
-  def contextScore(a: String, b: String): Double = {
-    val ta = tokens(a.toLowerCase); val tb = tokens(b.toLowerCase)
-    if (ta.isEmpty || tb.isEmpty) return 0.0
-    val ma = ta.groupBy(identity).map { case (k, v) => (k, v.length.toDouble) }
-    val mb = tb.groupBy(identity).map { case (k, v) => (k, v.length.toDouble) }
+  /** Platform-stable 64-bit token hash (two murmur32 lanes). */
+  def tokenHash64(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x2e1b2138)
+    val h2 = MurmurHash3.stringHash(s, 0x45d9f3b1)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Precomputed term-frequency vector: sorted distinct 64-bit token hashes
+    * of the lowercased tokens, their counts, and the L2 norm. Computed ONCE
+    * per mention/entity so the per-pair context score is an allocation-free
+    * primitive merge-join — tokens cross the UDF boundary as long[] (no
+    * per-element UTF8String->String conversion per candidate pair, which at
+    * corpus scale is the dominant memory traffic). Hashing is shared with
+    * the oracle, so engine and oracle compute identical scores (a 64-bit
+    * collision would merge two token counts — deterministic on both sides). */
+  final case class TfVec(tokens: Array[Long], counts: Array[Int], norm: Double)
+
+  def tfVector(text: String): TfVec = {
+    val raw = tokens(text.toLowerCase)
+    if (raw.isEmpty) return TfVec(Array.empty, Array.empty, 0.0)
+    val hs = new Array[Long](raw.length)
+    var k = 0
+    while (k < raw.length) { hs(k) = tokenHash64(raw(k)); k += 1 }
+    java.util.Arrays.sort(hs)
+    val toks = Array.newBuilder[Long]
+    val cnts = Array.newBuilder[Int]
+    var i = 0
+    var norm2 = 0.0
+    while (i < hs.length) {
+      var j = i + 1
+      while (j < hs.length && hs(j) == hs(i)) j += 1
+      val c = j - i
+      toks += hs(i); cnts += c
+      norm2 += c.toDouble * c
+      i = j
+    }
+    TfVec(toks.result(), cnts.result(), math.sqrt(norm2))
+  }
+
+  /** TF cosine over two precomputed sorted hashed vectors. */
+  def tfCosine(a: TfVec, b: TfVec): Double = {
+    if (a.norm == 0.0 || b.norm == 0.0) return 0.0
+    var i = 0; var j = 0
     var dot = 0.0
-    for ((k, ca) <- ma; cb <- mb.get(k)) dot += ca * cb
-    val na = math.sqrt(ma.valuesIterator.map(x => x * x).sum)
-    val nb = math.sqrt(mb.valuesIterator.map(x => x * x).sum)
-    val c = dot / (na * nb)
+    while (i < a.tokens.length && j < b.tokens.length) {
+      val (x, y) = (a.tokens(i), b.tokens(j))
+      if (x == y) { dot += a.counts(i).toDouble * b.counts(j); i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val c = dot / (a.norm * b.norm)
     math.min(1.0, math.max(0.0, c))
   }
+
+  /** Token TF cosine between two texts, in [0,1]; deterministic surrogate for
+    * the CrossEncoder (see object doc). Delegates to the hashed TfVec path so
+    * every caller computes the identical value. */
+  def contextScore(a: String, b: String): Double =
+    tfCosine(tfVector(a), tfVector(b))
 
   // ------------------------------------------------------- embedding LSH
 

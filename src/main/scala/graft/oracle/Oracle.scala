@@ -75,23 +75,10 @@ object Oracle {
     Result(mentions, decisions, sameAs, triples.result())
   }
 
-  /** Union-find connected components; canonical = lexicographic min id. */
-  def connectedComponents(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
-    val parent = scala.collection.mutable.Map[String, String]()
-    def find(x: String): String = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    for (n <- nodes) parent.getOrElseUpdate(n, n)
-    for ((a, b) <- edges) {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    parent.keys.map(k => k -> find(k)).toMap
-  }
+  /** Union-find connected components; canonical = lexicographic min id.
+    * (Shared implementation with the pipeline's driver-local CC fast path.) */
+  def connectedComponents(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] =
+    graft.core.UnionFind.components(nodes, edges)
 
   def precisionRecall[T](engine: Set[T], oracle: Set[T]): (Double, Double) = {
     val inter = engine.intersect(oracle).size.toDouble

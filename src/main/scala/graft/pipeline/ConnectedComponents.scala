@@ -19,7 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20, checkpointEvery: Int = 3): DataFrame = {
+  /** Size-adaptive entry point. The canonicalization graph is dictionary-
+    * scale (entity ids + created-surface ids), NOT corpus-scale — at any
+    * transcript volume it stays orders of magnitude below the corpus — so
+    * below `driverThreshold` rows the component labeling runs as a single
+    * driver-local union-find (two jobs total) instead of an iterative
+    * join loop (dozens of barrier-synced jobs whose fixed latency dominates
+    * and does not parallelize). The distributed loop remains the fallback
+    * for genuinely huge dictionaries. */
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+          checkpointEvery: Int = 3, driverThreshold: Long = 5000000L): DataFrame = {
+    val vs = vertices.select(col("id")).persist()
+    val es = edges.select(col("src"), col("dst")).persist()
+    val size = vs.count() + es.count()
+    val out =
+      if (size <= driverThreshold) runDriver(vs, es)
+      else runDistributed(vs, es, maxIter, checkpointEvery)
+    out
+  }
+
+  private def runDriver(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vs = vertices.collect().map(_.getString(0))
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    graft.core.UnionFind.components(vs, es).toSeq.sortBy(_._1)
+      .toDF("id", "component")
+  }
+
+  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20, checkpointEvery: Int = 3): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

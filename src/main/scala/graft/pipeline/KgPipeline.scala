@@ -44,14 +44,13 @@ object KgPipeline {
 
     val decisions = cp.stage("decisions") {
       val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
-        .select("mention_id", "surface", "mention_type", "m_x1", "m_emb").cache()
+        .select(Scorer.mentionPrepCols.map(col): _*).cache()
       val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg).persist()
       // mention-side hot keys: > ~1% of mentions sharing one key => salt
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
       val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
-      val scored = Scorer.scorePairs(pairs, mentionsPrep, entities, cfg)
-      Scorer.decide(spark, mentions, scored, cfg)
+      Scorer.decideBest(spark, mentions, mentionsPrep, pairs, entities, cfg)
     }.persist() // reused by components, triples, stats
 
     val components = cp.stage("components") {

@@ -1,10 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{GraftConfig, Scoring, TextSim}
-import graft.model.EntityScore
 
 /** Candidate-pair scoring + per-mention decision.
   *
@@ -14,32 +13,82 @@ import graft.model.EntityScore
   * window row_number over (final desc, entity id asc) — the reference's
   * candidates.sort + [0] (disambiguation.py:146-149) with a deterministic
   * tiebreak. Decision thresholds are plain when/otherwise column logic.
+  *
+  * Hot-path design: everything derivable from ONE side (embedding, TF
+  * vector of the scoring text) is computed once per mention / per entity
+  * and carried as columns; the per-pair UDF only does merge-join TF cosine,
+  * embedding cosine, and the short name/alias edit-distance cross-products.
+  * Each side is packed into a single struct column so the pair scorer is a
+  * 2-arg Row UDF (beyond Spark's 10-arg scalar UDF limit otherwise).
   */
 object Scorer {
 
-  /** struct(bge, ce, fuzz, lev, final) over a prepared mention x entity row. */
-  def pairScoreUdf(cfg: GraftConfig) = udf {
-    (surface: String, mentionType: String, mX1: String, mEmb: Seq[Float],
-     name: String, aliases: Seq[String], entityType: String, eX1: String, eEmb: Seq[Float]) =>
-      Scoring.pairScore(
-        surface, Nil, Option(mentionType), mX1,
-        if (mEmb == null) Array.empty[Float] else mEmb.toArray,
-        name, if (aliases == null) Nil else aliases, Option(entityType), eX1,
-        if (eEmb == null) Array.empty[Float] else eEmb.toArray, cfg)
+  /** Struct column packing one scoring side; field order is the contract
+    * with `sideFromRow`. */
+  private def sideStruct(
+      name: Column, aliases: Column, stype: Column,
+      tfTokens: Column, tfCounts: Column, tfNorm: Column, emb: Column): Column =
+    struct(
+      name.as("name"), aliases.as("aliases"), stype.as("stype"),
+      tfTokens.as("tf_tokens"), tfCounts.as("tf_counts"), tfNorm.as("tf_norm"),
+      emb.as("emb"))
+
+  private def sideFromRow(r: Row): (String, Seq[String], Option[String], TextSim.TfVec, Array[Float]) = {
+    val aliases = r.getSeq[String](1)
+    val tf = TextSim.TfVec(
+      r.getSeq[Long](3).toArray, r.getSeq[Int](4).toArray, r.getDouble(5))
+    val emb = r.getSeq[Float](6)
+    (r.getString(0),
+      if (aliases == null) Nil else aliases,
+      Option(r.getString(2)),
+      tf,
+      if (emb == null) Array.empty[Float] else emb.toArray)
   }
 
+  /** struct(bge, ce, fuzz, lev, final) over two packed sides. */
+  def pairScoreUdf(cfg: GraftConfig) = udf { (a: Row, b: Row) =>
+    val (nameA, aliasesA, typeA, tfA, embA) = sideFromRow(a)
+    val (nameB, aliasesB, typeB, tfB, embB) = sideFromRow(b)
+    Scoring.pairScorePrepped(
+      nameA, aliasesA, typeA, tfA, embA,
+      nameB, aliasesB, typeB, tfB, embB, cfg)
+  }
+
+  private val tfUdf = udf((x: String) => {
+    val tf = TextSim.tfVector(x)
+    (tf.tokens, tf.counts, tf.norm)
+  })
+
+  /** Adds x1-derived columns tf_tokens/tf_counts/tf_norm via ONE
+    * struct-returning UDF evaluation per row (a UDF per field would
+    * tokenize+sort the text three times). */
+  private def withTf(df: DataFrame, x1: Column): DataFrame =
+    df.withColumn("__tf", tfUdf(x1))
+      .withColumn("tf_tokens", col("__tf._1"))
+      .withColumn("tf_counts", col("__tf._2"))
+      .withColumn("tf_norm", col("__tf._3"))
+      .drop("__tf")
+
   /** mention df columns: mention_id, surface, mention_type, context.
-    * Derived here: m_x1 (= X2: surface + context, mentions carry no
-    * aliases/attributes) and m_emb. */
+    * Derived here: m_x1 (the mention's scoring text: surface + context,
+    * mentions carry no aliases/attributes), m_emb, and the TF vector. */
   def prepareMentions(mentions: DataFrame, cfg: GraftConfig): DataFrame = {
     val dim = cfg.embeddingDim
     val x1 = udf((surface: String, context: String) =>
       Scoring.scoringText(surface, Nil, Option(context)))
     val emb = udf((x: String) => TextSim.embed(x, dim))
-    mentions
-      .withColumn("m_x1", x1(col("surface"), col("context")))
+    withTf(
+      mentions.withColumn("m_x1", x1(col("surface"), col("context"))),
+      col("m_x1"))
       .withColumn("m_emb", emb(col("m_x1")))
   }
+
+  /** Columns a prepared-mentions frame must carry into scorePairs. */
+  val mentionPrepCols: Seq[String] =
+    Seq("mention_id", "surface", "mention_type", "m_emb", "tf_tokens", "tf_counts", "tf_norm")
+
+  /** Adds TF columns to an EntityStore.prepare-d entity frame. */
+  def prepareEntities(entities: DataFrame): DataFrame = withTf(entities, col("x1"))
 
   /** Score all candidate pairs. `entities` must be EntityStore.prepare-d
     * (has x1, emb). broadcastEntities: hint when the dictionary fits on
@@ -50,17 +99,20 @@ object Scorer {
       entities: DataFrame,
       cfg: GraftConfig,
       broadcastEntities: Boolean = true): DataFrame = {
-    val ent = entities.select(
-      col("id"), col("name"), col("aliases"), col("entity_type"),
-      col("x1").as("e_x1"), col("emb").as("e_emb"))
+    val ment = mentionsPrep.select(
+      col("mention_id"), col("surface"),
+      sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
+        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
+    val ent = prepareEntities(entities).select(
+      col("id"),
+      sideStruct(col("name"), col("aliases"), col("entity_type"),
+        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("emb")).as("e_side"))
     val entSide = if (broadcastEntities) broadcast(ent) else ent
     val score = pairScoreUdf(cfg)
     pairs
-      .join(mentionsPrep, "mention_id")
+      .join(ment, "mention_id")
       .join(entSide, "id")
-      .withColumn("s", score(
-        col("surface"), col("mention_type"), col("m_x1"), col("m_emb"),
-        col("name"), col("aliases"), col("entity_type"), col("e_x1"), col("e_emb")))
+      .withColumn("s", score(col("m_side"), col("e_side")))
       .select(
         col("mention_id"), col("surface"), col("id").as("entity_id"),
         col("s.bge_score").as("bge_score"),
@@ -68,6 +120,112 @@ object Scorer {
         col("s.fuzz_score").as("fuzz_score"),
         col("s.levenshtein_score").as("levenshtein_score"),
         col("s.final_score").as("final_score"))
+  }
+
+  /** One scoring side, driver/broadcast-resident. */
+  final case class EntSide(
+      name: String, aliases: Seq[String], etype: String,
+      tfTokens: Array[Long], tfCounts: Array[Int], tfNorm: Double,
+      emb: Array[Float])
+
+  /** Dictionary as a broadcastable id -> prepped-side map (dictionary-scale:
+    * MBs, per north_star "broadcast dictionaries"). */
+  def entitySideMap(entities: DataFrame): Map[String, EntSide] =
+    prepareEntities(entities).select(
+        col("id"), col("name"), col("aliases"), col("entity_type"),
+        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("emb"))
+      .collect().map { r =>
+        r.getString(0) -> EntSide(
+          r.getString(1),
+          Option(r.getSeq[String](2)).getOrElse(Nil),
+          r.getString(3),
+          r.getSeq[Long](4).toArray, r.getSeq[Int](5).toArray, r.getDouble(6),
+          r.getSeq[Float](7).toArray)
+      }.toMap
+
+  /** Fused score-and-argmax: per mention, score ALL its blocked candidates
+    * against the broadcast dictionary inside one UDF call and return the
+    * best (final desc, id asc). Replaces the row-per-pair join + window
+    * top-1: candidate rows stay (mention_id, entity_id) ids-only, the fat
+    * mention side is materialized once per mention instead of once per
+    * pair, and the top-1 shuffle disappears. */
+  def bestCandidateUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, EntSide]],
+      cfg: GraftConfig) = udf { (m: Row, cands: Seq[String]) =>
+    val (surface, _, mType, tfM, embM) = sideFromRow(m)
+    var bestId: String = null
+    var best: graft.model.EntityScore = null
+    cands.foreach { id =>
+      bc.value.get(id).foreach { e =>
+        val s = Scoring.pairScorePrepped(
+          surface, Nil, mType, tfM, embM,
+          e.name, e.aliases, Option(e.etype),
+          TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm), e.emb, cfg)
+        if (best == null || s.final_score > best.final_score ||
+            (s.final_score == best.final_score && id < bestId)) {
+          best = s; bestId = id
+        }
+      }
+    }
+    if (best == null) null
+    else (bestId, best.bge_score, best.cross_encoder_score,
+      best.fuzz_score, best.levenshtein_score, best.final_score)
+  }
+
+  /** Decide every mention from blocked candidate pairs via the broadcast
+    * scorer. `pairs`: (mention_id, id) — ids only. */
+  def decideBest(
+      spark: SparkSession,
+      mentions: DataFrame,
+      mentionsPrep: DataFrame,
+      pairs: DataFrame,
+      entities: DataFrame,
+      cfg: GraftConfig): DataFrame = {
+    val bc = spark.sparkContext.broadcast(entitySideMap(entities))
+    val cands = pairs.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
+    val ment = mentionsPrep.select(
+      col("mention_id"),
+      sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
+        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
+    val bestU = bestCandidateUdf(bc, cfg)
+    val best = ment.join(cands, "mention_id")
+      .withColumn("b", bestU(col("m_side"), col("cands")))
+      .filter(col("b").isNotNull)
+      .select(col("mention_id"), col("b._1").as("entity_id"),
+        col("b._2").as("bge_score"), col("b._3").as("cross_encoder_score"),
+        col("b._4").as("fuzz_score"), col("b._5").as("levenshtein_score"),
+        col("b._6").as("final_score"))
+    decideFromBest(mentions, best, cfg)
+  }
+
+  /** Threshold decisions given each mention's best candidate row (or no row
+    * for candidate-less mentions: create-with-confidence-1.0, reference
+    * disambiguation.py:126-135). */
+  private def decideFromBest(mentions: DataFrame, best: DataFrame, cfg: GraftConfig): DataFrame = {
+    val createdId = udf((surface: String) => Scoring.createdId(surface))
+    val joined = mentions
+      .select("mention_id", "conv_id", "turn_idx", "surface")
+      .join(best, Seq("mention_id"), "left_outer")
+    joined.withColumn("decision",
+        when(col("entity_id").isNull, lit(graft.model.Decisions.Create))
+          .when(col("final_score") >= cfg.highThreshold, lit(graft.model.Decisions.Merge))
+          .when(col("final_score") <= cfg.lowThreshold, lit(graft.model.Decisions.Create))
+          .otherwise(
+            if (cfg.forceDecision)
+              when(col("final_score") > cfg.midThreshold, lit(graft.model.Decisions.Merge))
+                .otherwise(lit(graft.model.Decisions.Create))
+            else lit(graft.model.Decisions.Ambiguous)))
+      .withColumn("match_id",
+        when(col("decision") === graft.model.Decisions.Merge, col("entity_id")))
+      .withColumn("resolved_id",
+        when(col("decision") === graft.model.Decisions.Merge, col("entity_id"))
+          .when(col("decision") === graft.model.Decisions.Create, createdId(col("surface"))))
+      .withColumn("bge_score", coalesce(col("bge_score"), lit(0.0)))
+      .withColumn("cross_encoder_score", coalesce(col("cross_encoder_score"), lit(0.0)))
+      .withColumn("fuzz_score", coalesce(col("fuzz_score"), lit(0.0)))
+      .withColumn("levenshtein_score", coalesce(col("levenshtein_score"), lit(0.0)))
+      .withColumn("final_score", coalesce(col("final_score"), lit(1.0)))
+      .drop("entity_id")
   }
 
   /** Per-mention top-k candidates with 1-based rank (reference
@@ -111,36 +269,21 @@ object Scorer {
       .drop("entity_id")
   }
 
-  /** Entity x entity scorer (both sides carry aliases), 10-arg UDF. */
-  def entityPairScoreUdf(cfg: GraftConfig) = udf {
-    (nameA: String, aliasesA: Seq[String], typeA: String, x1A: String, embA: Seq[Float],
-     nameB: String, aliasesB: Seq[String], typeB: String, x1B: String, embB: Seq[Float]) =>
-      Scoring.pairScore(
-        nameA, if (aliasesA == null) Nil else aliasesA, Option(typeA), x1A,
-        if (embA == null) Array.empty[Float] else embA.toArray,
-        nameB, if (aliasesB == null) Nil else aliasesB, Option(typeB), x1B,
-        if (embB == null) Array.empty[Float] else embB.toArray, cfg)
-  }
-
   /** Dictionary self-dedup edges: blocked entity pairs scoring >= HIGH. */
   def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig): DataFrame = {
     val a = entityB.select(col("key"), col("id").as("src"))
     val b = entityB.select(col("key"), col("id").as("dst"))
     val pairs = a.join(b, "key").filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
-    val ent = entities.select(
-      col("id"), col("name"), col("aliases"), col("entity_type"), col("x1"), col("emb"))
-    val score = entityPairScoreUdf(cfg)
+    val ent = prepareEntities(entities).select(
+      col("id"),
+      sideStruct(col("name"), col("aliases"), col("entity_type"),
+        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("emb")).as("side"))
+    val score = pairScoreUdf(cfg)
     pairs
-      .join(broadcast(ent.select(
-        col("id").as("src"), col("name").as("a_name"), col("aliases").as("a_aliases"),
-        col("entity_type").as("a_type"), col("x1").as("a_x1"), col("emb").as("a_emb"))), "src")
-      .join(broadcast(ent.select(
-        col("id").as("dst"), col("name").as("b_name"), col("aliases").as("b_aliases"),
-        col("entity_type").as("b_type"), col("x1").as("b_x1"), col("emb").as("b_emb"))), "dst")
-      .withColumn("s", score(
-        col("a_name"), col("a_aliases"), col("a_type"), col("a_x1"), col("a_emb"),
-        col("b_name"), col("b_aliases"), col("b_type"), col("b_x1"), col("b_emb")))
+      .join(broadcast(ent.select(col("id").as("src"), col("side").as("a_side"))), "src")
+      .join(broadcast(ent.select(col("id").as("dst"), col("side").as("b_side"))), "dst")
+      .withColumn("s", score(col("a_side"), col("b_side")))
       .filter(col("s.final_score") >= cfg.highThreshold)
       .select("src", "dst")
   }

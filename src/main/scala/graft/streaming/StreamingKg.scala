@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.GraftConfig
+import graft.model.{EntityRecord, Turn}
+import graft.pipeline.{Blocking, EntityStore, MentionStage, Scorer}
+
+/** Structured Streaming surface: transcripts as an unbounded stream.
+  *
+  * The reference is strictly request/response (SURVEY.md §2.8) — its only
+  * incremental behavior is the single-vector index append
+  * (/root/reference/services/vectorization.py:691-732). This module is the
+  * engine's streaming generalization: the same per-batch semantics as the
+  * batch pipeline (shared MentionStage/Blocking/Scorer code), applied to
+  * micro-batches via foreachBatch, plus event-time windowed stats with a
+  * watermark and a stateful per-conversation operator.
+  *
+  * Canonicalization (CC over merge edges) is deliberately batch-only: it is
+  * a global fixpoint; streaming emits per-batch decisions and a periodic
+  * batch job canonicalizes — the standard lambda split.
+  */
+object StreamingKg {
+
+  /** Per micro-batch: detect mentions, block, score, decide — identical
+    * code path to the batch pipeline — and append decisions to `outPath`
+    * (pred-partitioned parquet, checkpointed by the stream). */
+  def decisionsStream(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      dict: Seq[EntityRecord],
+      cfg: GraftConfig,
+      outPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val entities = EntityStore.prepare(spark, dict, cfg).cache()
+    val entityB = Blocking.entityBlocks(entities, cfg).cache()
+    turns.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val mentions = MentionStage.detect(spark, batch.as[Turn], dict).toDF()
+        val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
+          .select(Scorer.mentionPrepCols.map(col): _*)
+        val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg)
+        val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, Set.empty)
+        val scored = Scorer.scorePairs(pairs, mentionsPrep, entities, cfg)
+        Scorer.decide(spark, mentions, scored, cfg)
+          .write.mode("append").parquet(outPath)
+      }
+  }
+
+  /** Event-time windowed mention-rate stats: turns per (window, role) with
+    * a watermark bounding state. */
+  def turnRate(turns: Dataset[Turn], watermark: String = "10 minutes",
+               window_ : String = "5 minutes"): DataFrame =
+    turns.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("role"))
+      .agg(count(lit(1)).as("n_turns"))
+
+  /** State for first-mention tracking: surfaces already seen per conv. */
+  final case class ConvState(seen: Set[String])
+  final case class FirstMention(conv_id: String, turn_idx: Int, surface: String)
+
+  /** Stateful per-conversation operator: emits each dictionary surface the
+    * first time a conversation mentions it (flatMapGroupsWithState custom
+    * state). NoTimeout keeps finite-input queries (Trigger.AvailableNow)
+    * terminating; production unbounded streams would bound state with
+    * EventTimeTimeout + a watermark on ts instead. */
+  def firstMentions(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      dict: Seq[EntityRecord]): Dataset[FirstMention] = {
+    import spark.implicits._
+    val idx = graft.core.MentionDetector.buildIndex(dict)
+    val bc = spark.sparkContext.broadcast(idx)
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (convId: String, batch: Iterator[Turn], state: GroupState[ConvState]) => {
+          var seen = state.getOption.map(_.seen).getOrElse(Set.empty[String])
+          val out = batch.toSeq.sortBy(_.turn_idx).flatMap { t =>
+            graft.core.MentionDetector.detect(t, bc.value).flatMap { m =>
+              val key = m.surface.toLowerCase
+              if (seen.contains(key)) None
+              else { seen += key; Some(FirstMention(convId, t.turn_idx, m.surface)) }
+            }
+          }
+          state.update(ConvState(seen))
+          out.iterator
+        })
+  }
+}

@@ -10,12 +10,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  def cc(vs: Seq[String], es: Seq[(String, String)]): Map[String, String] = {
+  /** driverPath=false forces the distributed label-propagation loop;
+    * true exercises the size-adaptive driver union-find fast path. */
+  def cc(vs: Seq[String], es: Seq[(String, String)], driverPath: Boolean = true): Map[String, String] = {
     import spark.implicits._
     val vdf = vs.toDF("id")
     val edf = es.toDF("src", "dst")
-    ConnectedComponents.run(vdf, edf).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val out =
+      if (driverPath) ConnectedComponents.run(vdf, edf)
+      else ConnectedComponents.runDistributed(vdf, edf)
+    out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("driver fast path and distributed loop agree") {
+    val rnd = new scala.util.Random(9)
+    val vs = (0 until 80).map(i => f"x$i%03d")
+    val es = (0 until 70).map(_ => (vs(rnd.nextInt(vs.size)), vs(rnd.nextInt(vs.size))))
+    assert(cc(vs, es, driverPath = true) == cc(vs, es, driverPath = false))
   }
 
   test("chain collapses to min label (worst-case diameter)") {

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftConfig
+import graft.fixtures.Synth
+import graft.model.Turn
+
+/** Streaming semantics == batch semantics: the foreachBatch decisions
+  * stream over micro-batched fixtures must produce exactly the batch
+  * pipeline's decisions, and the stateful first-mention operator must
+  * dedupe per conversation across micro-batches. */
+class StreamingKgSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val cfg = GraftConfig.default
+  val spec = Synth.Spec(nConv = 12, turnsPerConv = 6)
+  lazy val dict = Synth.dictionary(spec)
+  lazy val turns = Synth.transcripts(spec, dict)
+
+  test("streamed decisions equal batch decisions (micro-batch split is invisible)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream-dec").toString + "/out"
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+
+    val source = MemoryStream[Turn]
+    val writer = StreamingKg.decisionsStream(spark, source.toDS(), dict, cfg, out, ckpt)
+      .trigger(Trigger.AvailableNow())
+    // two micro-batches
+    val (b1, b2) = turns.splitAt(turns.size / 2)
+    source.addData(b1)
+    source.addData(b2)
+    writer.start().awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("mention_id", "decision", "resolved_id").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+
+    val batchOut = graft.pipeline.KgPipeline.run(spark,
+      graft.pipeline.TranscriptSource.fromSeq(spark, turns), dict, cfg)
+    val batch = batchOut.decisions
+      .select("mention_id", "decision", "resolved_id").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("windowed turn-rate aggregates by event-time window and role") {
+    import spark.implicits._
+    val ds = spark.createDataset(turns)
+    val rates = StreamingKg.turnRate(ds).collect()
+    assert(rates.nonEmpty)
+    assert(rates.map(_.getAs[Long]("n_turns")).sum == turns.size)
+  }
+
+  test("stateful first-mention operator dedupes surfaces per conversation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Turn]
+    val q = StreamingKg.firstMentions(spark, source.toDS(), dict)
+      .writeStream.format("memory").queryName("fm")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    val (b1, b2) = turns.splitAt(turns.size / 2)
+    source.addData(b1)
+    source.addData(b2)
+    q.start().awaitTermination()
+
+    val got = spark.sql("select * from fm").as[StreamingKg.FirstMention].collect()
+    // each (conv, surface-lower) appears exactly once
+    val keys = got.map(f => (f.conv_id, f.surface.toLowerCase))
+    assert(keys.length == keys.distinct.length)
+    // and matches the per-conversation first occurrences computed directly
+    val idx = graft.core.MentionDetector.buildIndex(dict)
+    val want = turns.sortBy(t => (t.conv_id, t.turn_idx))
+      .flatMap(t => graft.core.MentionDetector.detect(t, idx).map(m => (t.conv_id, m.surface.toLowerCase)))
+      .distinct.toSet
+    assert(keys.toSet == want)
+  }
+}
