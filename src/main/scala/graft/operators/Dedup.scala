@@ -125,12 +125,28 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs with exact-jaccard verification: the
-    * LSH-candidate ∩ (jaccard >= tau) set. */
-  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val cand = minhashCandidates(sets, numHashes, bands)
-    jaccardPairs(sets, tau).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+  /** Exact jaccard computed ONLY for the given candidate pairs — the
+    * verify step of LSH-then-verify. Work scales with |candidates|, not
+    * with the exhaustive pair blow-up. */
+  def jaccardForPairs(sets: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sets.toDF("doc_a", "shingle"), "doc_a")
+      .join(sets.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** MinHash-LSH near-dup pairs with exact-jaccard verification of the
+    * LSH candidates: the LSH-candidate ∩ (jaccard >= tau) set. Equals the
+    * exhaustive join wherever band recall is 1 (see class doc). */
+  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    jaccardForPairs(sets, minhashCandidates(sets, numHashes, bands), tau)
 
   /** 64-bit SimHash over whitespace tokens (counted, not distinct). */
   def simhash64(tokens: Seq[String]): Long = {
