@@ -166,6 +166,11 @@ object SparkEntry {
         .union(tbl(s, dir, "embeddings").agg(lit("embeddings").as("tbl"), count(lit(1)).as("n")))),
     "a3_groupby_count" -> ((s, dir) => tbl(s, dir, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n"))),
+    // A6 index stats analog: the "vector index" is just the embeddings table
+    "a6_index_stats" -> ((s, dir) => tbl(s, dir, "embeddings")
+      .agg(count(lit(1)).as("entity_count"),
+        max(size(col("embedding"))).cast("long").as("dimension"),
+        countDistinct(col("label")).as("n_labels"))),
     "a4_event_rates" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       ev.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -305,6 +310,9 @@ object SparkEntry {
           "UNION ALL SELECT 'embeddings', count(*) FROM embeddings"),
       "a3_groupby_count" ->
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+      "a6_index_stats" ->
+        ("SELECT count(*) AS entity_count, max(len(embedding))::BIGINT AS dimension, " +
+          "count(DISTINCT label) AS n_labels FROM embeddings"),
       "a4_event_rates" ->
         ("SELECT event_type, count(*) AS n, " +
           "count(*) / (SELECT count(*) FROM events) AS rate FROM events GROUP BY event_type"),
