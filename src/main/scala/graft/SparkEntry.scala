@@ -31,11 +31,14 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ KG
 
-  /** Synthetic-corpus size scales with the sf dir (sf0.01 -> 200 convs). */
+  /** Synthetic-corpus size scales with the sf dir: sf0.001 -> 100 convs
+    * (driver smoke), sf0.01 -> 1k convs / 10k turns (correctness gate),
+    * sf0.1 -> 10k convs / 100k turns (bench: large enough that sustained
+    * pipeline throughput, not session fixed cost, dominates). */
   private[graft] def specFor(sfDir: String): Synth.Spec = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.001)
-    Synth.Spec(nConv = math.max(60, (sf * 20000).toInt))
+    Synth.Spec(nConv = math.max(100, (sf * 100000).toInt))
   }
 
   private val kgCache = new ConcurrentHashMap[String, KgPipeline.Outputs]()
