@@ -1,0 +1,94 @@
+package graft.api
+
+import graft.core.{GraftConfig, Scoring, TextSim}
+import graft.model.{Decisions, EntityRecord, EntityScore}
+
+/** Single-record API veneer (SURVEY.md §7.2 M5) mirroring the reference's
+  * request/response surface (/root/reference/main.py POST /auto-decide and
+  * POST /match-candidates) over the engine's exact scoring semantics.
+  *
+  * One input entity against a dictionary is record-at-a-time work — no
+  * cluster needed — so this is pure Scala sharing the same `core` functions
+  * the Spark pipeline and the oracle run; a service front-end would hold the
+  * dictionary (and its prepped sides) in memory exactly like the engine
+  * broadcasts it. Retrieval is exact over the whole dictionary, matching
+  * the reference's IndexFlatIP exact search.
+  */
+object GraftApi {
+
+  /** Reference CandidateMatch analog: candidate + scores + 1-based rank. */
+  final case class Candidate(entity: EntityRecord, score: EntityScore, rank: Int,
+      similarityDetails: String)
+
+  /** Reference DisambiguationResult analog. */
+  final case class Result(
+      decision: String,
+      matchId: Option[String],
+      matchEntity: Option[EntityRecord],
+      score: EntityScore,
+      confidence: Double,
+      reasoning: String)
+
+  /** Prepped dictionary side, built once and reused across requests. */
+  final class Dictionary(val entities: Seq[EntityRecord], cfg: GraftConfig) {
+    private[api] val prepped = entities.map { e =>
+      val x1 = Scoring.scoringText(e.name, e.aliases, e.definition)
+      val emb = TextSim.embed(
+        Scoring.embeddingText(e.name, e.aliases, e.definition, e.attributes), cfg.embeddingDim)
+      (e, TextSim.tfVector(x1), emb)
+    }
+  }
+
+  private def scored(input: EntityRecord, dict: Dictionary, cfg: GraftConfig): Seq[(EntityRecord, EntityScore)] = {
+    val x1 = Scoring.scoringText(input.name, input.aliases, input.definition)
+    val tf = TextSim.tfVector(x1)
+    val emb = TextSim.embed(
+      Scoring.embeddingText(input.name, input.aliases, input.definition, input.attributes),
+      cfg.embeddingDim)
+    dict.prepped
+      .filter { case (e, _, _) => e.id != input.id } // never match self
+      .map { case (e, etf, eemb) =>
+        e -> Scoring.pairScorePrepped(
+          input.name, input.aliases, input.entity_type, tf, emb,
+          e.name, e.aliases, e.entity_type, etf, eemb, cfg)
+      }
+      .sortBy { case (e, s) => (-s.final_score, e.id) }
+  }
+
+  private def details(s: EntityScore, typeMatch: Boolean): String =
+    f"bge=${s.bge_score}%.4f cross=${s.cross_encoder_score}%.4f " +
+      f"fuzz=${s.fuzz_score}%.4f lev=${s.levenshtein_score}%.4f " +
+      f"final=${s.final_score}%.4f typeMatch=$typeMatch"
+
+  /** POST /match-candidates analog: top-k with rank + details text. */
+  def matchCandidates(input: EntityRecord, dict: Dictionary,
+      cfg: GraftConfig = GraftConfig.default, topK: Int = 10): Seq[Candidate] =
+    scored(input, dict, cfg).take(topK).zipWithIndex.map { case ((e, s), i) =>
+      Candidate(e, s, i + 1,
+        details(s, input.entity_type.isDefined && input.entity_type == e.entity_type))
+    }
+
+  /** POST /auto-decide analog: best candidate -> threshold decision.
+    * No candidates => create with confidence 1.0 (disambiguation.py:126-135). */
+  def autoDecide(input: EntityRecord, dict: Dictionary,
+      cfg: GraftConfig = GraftConfig.default): Result =
+    scored(input, dict, cfg).headOption match {
+      case None =>
+        Result(Decisions.Create, None, None, EntityScore(0, 0, 0, 0, 0), 1.0,
+          "no candidates: create new entity")
+      case Some((best, s)) =>
+        val d = Scoring.decide(s.final_score, cfg)
+        val reasoning = d match {
+          case Decisions.Merge =>
+            f"final ${s.final_score}%.4f >= high threshold ${cfg.highThreshold}%.2f: merge with ${best.id}"
+          case Decisions.Create =>
+            f"final ${s.final_score}%.4f <= low threshold ${cfg.lowThreshold}%.2f: create new entity"
+          case _ =>
+            f"final ${s.final_score}%.4f between thresholds: ambiguous"
+        }
+        Result(d,
+          if (d == Decisions.Merge) Some(best.id) else None,
+          if (d == Decisions.Merge) Some(best) else None,
+          s, s.final_score, reasoning)
+    }
+}

@@ -1,0 +1,57 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.fixtures.Synth
+import graft.model.{EntityRecord, Mention}
+import graft.oracle.Oracle
+
+/** The single-record API must agree with the golden oracle's per-mention
+  * decisions: a mention viewed as a query entity (name = surface,
+  * definition = turn context) gets the same decision / match / scores. */
+class GraftApiSpec extends AnyFunSuite {
+  val cfg = GraftConfig.default
+  val spec = Synth.Spec(nConv = 20, turnsPerConv = 6)
+  val dict = Synth.dictionary(spec)
+  val turns = Synth.transcripts(spec, dict)
+  val apiDict = new GraftApi.Dictionary(dict, cfg)
+
+  def asQueryEntity(m: Mention): EntityRecord =
+    EntityRecord(m.mention_id, m.surface, m.mention_type, Nil,
+      Some(m.context), Map.empty, None, None)
+
+  test("autoDecide matches the oracle decision for every fixture mention") {
+    val golden = Oracle.run(turns, dict, cfg)
+    val byId = golden.decisions.map(d => d.mention_id -> d).toMap
+    var checked = 0
+    golden.mentions.foreach { m =>
+      val want = byId(m.mention_id)
+      val got = GraftApi.autoDecide(asQueryEntity(m), apiDict, cfg)
+      assert(got.decision == want.decision, s"${m.mention_id}: $got vs $want")
+      assert(got.matchId == want.match_id)
+      if (want.decision != "create" || want.match_id.isDefined || got.score.final_score != 0.0)
+        assert(math.abs(got.score.final_score - want.final_score) < 1e-12 ||
+          (want.decision == "create" && want.final_score == 1.0))
+      checked += 1
+    }
+    assert(checked > 50)
+  }
+
+  test("matchCandidates: ranked, monotone, k-bounded, self excluded") {
+    val e = dict.head
+    val cands = GraftApi.matchCandidates(e, apiDict, cfg, topK = 5)
+    assert(cands.size <= 5 && cands.nonEmpty)
+    assert(cands.map(_.rank) == (1 to cands.size))
+    assert(cands.sliding(2).forall {
+      case Seq(a, b) => a.score.final_score >= b.score.final_score
+      case _ => true
+    })
+    assert(!cands.exists(_.entity.id == e.id))
+    assert(cands.head.similarityDetails.contains("final="))
+  }
+
+  test("empty dictionary: create with confidence 1.0") {
+    val r = GraftApi.autoDecide(dict.head, new GraftApi.Dictionary(Nil, cfg), cfg)
+    assert(r.decision == "create" && r.confidence == 1.0 && r.matchId.isEmpty)
+  }
+}
