@@ -5,10 +5,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.GraftConfig
+import graft.core.{Candidates, GraftConfig, Scoring}
 import graft.fixtures.Synth
 import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
-import graft.pipeline.{KgPipeline, Scorer, TranscriptSource}
+import graft.pipeline.{KgPipeline, Scorer, TranscriptSource, TripleEmitter}
 
 /** Driver contract (SURVEY.md §7; see Verify/Bench).
   *
@@ -57,6 +57,14 @@ object SparkEntry {
         out.decisionStats.persist())
     })
 
+  /** Drop one sfDir's memoized pipeline run and free its cached stages
+    * (Bench uses this to time a warm second run honestly). */
+  private[graft] def clearKg(spark: SparkSession, sfDir: String): Unit =
+    Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach { o =>
+      Seq(o.mentions, o.decisions, o.components, o.triples, o.decisionStats)
+        .foreach(_.unpersist(false))
+    }
+
   /** Flagship: end-to-end KG triples on a small fixed corpus. */
   def entry(spark: SparkSession): DataFrame =
     kg(spark, "sf0.001").triples
@@ -71,8 +79,14 @@ object SparkEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** Shingle sets are an explode + groupBy + join; both dedup queries walk
+    * them several times (sizes + two join sides + signatures), so the frame
+    * is memoized per (session, dir) and persisted — recomputing it 3-4x per
+    * query was the dominant cost of round 1's dedup benches. */
+  private val setsCache = new ConcurrentHashMap[String, DataFrame]()
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingleSets(tbl(s, dir, "documents"), n = 3, maxDf = 50L)
+    setsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ =>
+      Dedup.shingleSets(tbl(s, dir, "documents"), n = 3, maxDf = 50L).persist())
 
   private def prepEmb(s: SparkSession, dir: String): DataFrame =
     Similarity.prep(tbl(s, dir, "embeddings"))
@@ -100,39 +114,56 @@ object SparkEntry {
     "kg_components" -> ((s, dir) => kg(s, dir).components),
     "kg_decision_stats" -> ((s, dir) => kg(s, dir).decisionStats),
     "kg_candidates_topk" -> ((s, dir) => {
-      // match-candidates surface (reference POST /match-candidates):
-      // top-k scored candidates per mention with 1-based rank
+      // match-candidates surface (reference POST /match-candidates) with the
+      // reference's exact retrieval merge: vector over-fetch + F2 type-branch
+      // cosine floor + F4 first-wins name dedup + truncate + stable rank
+      // (core.Candidates, shared with the oracle). Broadcast-dictionary map
+      // over mentions — no pair shuffle, no window.
       val out = kg(s, dir)
       val cfg = GraftConfig.default
-      val spec = specFor(dir)
-      val dict = Synth.dictionary(spec)
-      val entities = graft.pipeline.EntityStore.prepare(s, dict, cfg)
+      val dict = Candidates.prep(Synth.dictionary(specFor(dir)), cfg)
       val mentionsPrep = Scorer.prepareMentions(out.mentions, cfg)
         .select(Scorer.mentionPrepCols.map(col): _*)
-      val mB = graft.pipeline.Blocking.mentionBlocks(mentionsPrep, cfg)
-      val eB = graft.pipeline.Blocking.entityBlocks(entities, cfg)
-      val pairs = graft.pipeline.Blocking.candidatePairs(s, mB, eB, cfg, Set.empty)
-      Scorer.topK(Scorer.scorePairs(pairs, mentionsPrep, entities, cfg), cfg.topK)
-        .select("mention_id", "entity_id", "rank", "final_score")
+      Scorer.topKBroadcast(s, mentionsPrep, dict, cfg)
+    }),
+
+    // 1-hop traversal over the engine's OWN pred-partitioned triples table
+    // (reference get_related_entities, neo4j_database.py:437-471): filter on
+    // the partition column pred => partition-pruned scan, then an equi-join
+    // rehydrates the neighbor entity (broadcast: dictionary-sized).
+    "kg_onehop" -> ((s, dir) => {
+      import s.implicits._
+      val path = s"/tmp/graft_triples_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      TripleEmitter.write(kg(s, dir).triples, path)
+      val ents = s.createDataset(Synth.dictionary(specFor(dir))).toDF()
+        .select(col("id"), col("name").as("obj_name"))
+      s.read.parquet(path).filter(col("pred") === "same_as")
+        .join(broadcast(ents), col("obj") === col("id"))
+        .select("subj", "pred", "obj", "obj_name")
     }),
 
     // X13 similarity-details + X14 reasoning text over the decisions
     // (reference similarity_details disambiguation.py:439-463 and the
     // reasoning templates :388-407 — engine uses stable English templates,
-    // a documented divergence from the Chinese originals)
-    "kg_decisions_explained" -> ((s, dir) => kg(s, dir).decisions
-      .select(col("mention_id"), col("decision"),
-        format_string("bge=%.4f cross=%.4f fuzz=%.4f lev=%.4f final=%.4f",
-          col("bge_score"), col("cross_encoder_score"), col("fuzz_score"),
-          col("levenshtein_score"), col("final_score")).as("similarity_details"),
-        when(col("decision") === "merge",
-            format_string("final %.4f >= high threshold 0.72: merge with %s",
-              col("final_score"), col("match_id")))
-          .when(col("decision") === "create",
-            format_string("final %.4f <= low threshold 0.60: create new entity",
-              col("final_score")))
-          .otherwise(format_string("final %.4f between thresholds: ambiguous",
-            col("final_score"))).as("reasoning"))),
+    // a documented divergence from the Chinese originals). Shared templates
+    // + config-interpolated thresholds: this text can never drift from the
+    // decision logic or from the oracle/API twins.
+    "kg_decisions_explained" -> ((s, dir) => {
+      val cfg = GraftConfig.default
+      kg(s, dir).decisions
+        .select(col("mention_id"), col("decision"),
+          format_string(Scoring.DetailsTemplate,
+            col("bge_score"), col("cross_encoder_score"), col("fuzz_score"),
+            col("levenshtein_score"), col("final_score")).as("similarity_details"),
+          when(col("decision") === "merge",
+              format_string(Scoring.MergeReasonTemplate,
+                col("final_score"), lit(cfg.highThreshold), col("match_id")))
+            .when(col("decision") === "create",
+              format_string(Scoring.CreateReasonTemplate,
+                col("final_score"), lit(cfg.lowThreshold)))
+            .otherwise(format_string(Scoring.AmbiguousReasonTemplate,
+              col("final_score"))).as("reasoning"))
+    }),
 
     // ---- scans / filters / joins / windows (SURVEY §2.1-2.6 analogs)
     "s1_scan_order" -> ((s, dir) => tbl(s, dir, "documents")
@@ -155,6 +186,20 @@ object SparkEntry {
     "s4_substring_search" -> ((s, dir) => tbl(s, dir, "documents")
       .filter(col("text").contains("spark")).select("doc_id", "n_chars")
       .orderBy("doc_id").limit(100)),
+    // S4 alias branch (reference neo4j_database.py:240-259): name CONTAINS q
+    // OR any(alias IN aliases WHERE alias CONTAINS q), ORDER BY name LIMIT n.
+    // exists() is the higher-order-function path; q='1' only ever occurs in
+    // abbreviation ALIASES (names carry no digits), so the alias arm is the
+    // one doing the work. Deterministic tiebreak: id after name.
+    "s4_alias_search" -> ((s, dir) => {
+      import s.implicits._
+      val q = "1"
+      s.createDataset(Synth.dictionary(specFor(dir))).toDF()
+        .filter(col("name").contains(q) ||
+          exists(col("aliases"), a => a.contains(q)))
+        .orderBy(col("name"), col("id")).limit(20)
+        .select("id", "name", "entity_type")
+    }),
     "s7_onehop_join" -> ((s, dir) => tbl(s, dir, "events")
       .filter(col("event_type") === "error")
       .join(broadcast(tbl(s, dir, "customer")),
@@ -218,8 +263,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsPlusExactCopies(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.jaccardPairs(shingleSets(s, dir), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(shingleSets(s, dir), 0.6)),
+    // signatures over the corpus-plus-exact-copies so near-dup pairs exist;
+    // the pairs query below re-derives candidates from these very signatures
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashSignatures(tbl(s, dir, "documents"))),
+      Dedup.simhashSignatures(docsPlusExactCopies(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhashSignatures(docsPlusExactCopies(s, dir)), 3)
+        .withColumn("hamming", col("hamming").cast("long"))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
 
@@ -229,8 +279,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 10), 5)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
-      val corpus = prepEmb(s, dir).persist()
+      val corpus = prepEmb(s, dir)
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10), 5)
+    }),
+    // recall@5 of the IVF approximation against its exact brute-force twin,
+    // per query vector — the quality gate for the approximate path
+    "ann_ivf_recall" -> ((s, dir) => {
+      val corpus = prepEmb(s, dir)
+      val q = corpus.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(corpus, q, 5).select(col("qid"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(corpus, q, 5)
+        .select(col("qid").as("iq"), col("vec_id").as("iv"))
+      brute.join(ivf, col("qid") === col("iq") && col("vec_id") === col("iv"), "left_outer")
+        .groupBy("qid").agg((count(col("iv")) / lit(5.0)).as("recall_at_5"))
     }),
 
     // ---- text analysis
@@ -250,8 +311,18 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracleSql
 
-  /** DuckDB twins. Omitted for the non-SQL-expressible kg_* / LSH-signature /
-    * IVF / winnow queries (driver records rows-only checks there). */
+  /** DuckDB twins.
+    *
+    * Two path tokens are substituted by Verify at dump time (the SQL is
+    * driver-executed later against the same filesystem):
+    *  - `{ORA}`: the golden-oracle parquet dir (pure-Scala reference math,
+    *    materialized by Verify next to its output dir) — gives the kg_*
+    *    north-star queries real rows+schema+hash gates instead of rows-only;
+    *  - `{OUT}`: Verify's own output dir, for twins that verify a derived
+    *    quantity over an engine dump (IVF recall vs the exact twin;
+    *    simhash banded pairs re-derived from the dumped signatures).
+    * Omitted only for dedup_simhash (raw murmur signatures) and
+    * text_winnow_fp (windowed rightmost-min) — rows-only checks. */
   def oracleSql: Map[String, String] = {
     val jaccardSql =
       """WITH w AS (
@@ -412,6 +483,55 @@ object SparkEntry {
             |FROM h""".stripMargin),
       "text_fingerprint" ->
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint FROM documents",
+      // ---- golden-oracle twins (pure-Scala reference math, materialized by
+      // Verify as parquet; see the {ORA} token contract above)
+      "kg_mentions" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_mentions/*.parquet')",
+      "kg_decisions" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_decisions/*.parquet')",
+      "kg_components" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_components/*.parquet')",
+      "kg_triples" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
+      "kg_decision_stats" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_decision_stats/*.parquet')",
+      "kg_candidates_topk" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_candidates_topk/*.parquet')",
+      "kg_decisions_explained" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_decisions_explained/*.parquet')",
+      "kg_onehop" ->
+        ("SELECT t.subj, t.pred, t.obj, e.name AS obj_name " +
+          "FROM read_parquet('{ORA}/kg_triples/*.parquet') t " +
+          "JOIN read_parquet('{ORA}/fixtures_entities/*.parquet') e ON t.obj = e.id " +
+          "WHERE t.pred = 'same_as'"),
+      "s4_alias_search" ->
+        ("SELECT id, name, entity_type FROM read_parquet('{ORA}/fixtures_entities/*.parquet') " +
+          "WHERE contains(name, '1') OR len(list_filter(aliases, a -> contains(a, '1'))) > 0 " +
+          "ORDER BY name, id LIMIT 20"),
+      "dedup_simhash_pairs" ->
+        """WITH s AS (SELECT * FROM read_parquet('{OUT}/dedup_simhash/*.parquet'))
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+          |FROM s a JOIN s b
+          |  ON a.doc_id < b.doc_id
+          | AND (a.band0 = b.band0 OR a.band1 = b.band1
+          |      OR a.band2 = b.band2 OR a.band3 = b.band3)
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+      "ann_ivf_recall" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+          |c AS (SELECT qid, vec_id,
+          |             list_sum([qv[i]*v[i] for i in generate_series(1, len(v))]) / (qn*nrm) AS cosine
+          |      FROM q, n WHERE vec_id <> qid),
+          |r AS (SELECT qid, vec_id,
+          |             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          |      FROM c),
+          |brute AS (SELECT qid, vec_id FROM r WHERE rnk <= 5),
+          |ivf AS (SELECT qid, vec_id FROM read_parquet('{OUT}/ann_ivf_topk/*.parquet'))
+          |SELECT b.qid, count(i.vec_id) / 5.0 AS recall_at_5
+          |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+          |GROUP BY b.qid""".stripMargin,
       "mm_decode" ->
         ("SELECT doc_id, " +
           "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +

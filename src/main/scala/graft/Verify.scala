@@ -1,8 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+
+import graft.core.GraftConfig
+import graft.fixtures.Synth
+import graft.oracle.Oracle
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json for the driver's DuckDB compare.
+  *
+  * Additionally materializes the GOLDEN ORACLE (pure-Scala reference math,
+  * graft.oracle.Oracle — no Spark in the compute path) as parquet into a
+  * sibling `<outDir>_oracle/` directory, so the kg_* north-star queries get
+  * full rows+schema+hash gates: their oracle SQL is just a read of those
+  * independently-computed rows. The sibling dir (not a subdir of outDir)
+  * keeps the driver's per-query directory scan unconfused. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -22,6 +34,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString.stripSuffix("/")
+    val oraAbs = outAbs + "_oracle"
+    dumpGoldenOracle(spark, sfDir, oraAbs)
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,8 +52,42 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{OUT}", outAbs).replace("{ORA}", oraAbs))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Run the no-Spark golden oracle over the same synthetic fixture the
+    * kg_* queries use and write each surface as single-file parquet with the
+    * engine's exact column names/types. Spark is only the parquet writer
+    * here — every value is computed by the pure-Scala oracle. */
+  def dumpGoldenOracle(spark: SparkSession, sfDir: String, oraDir: String): Unit = {
+    import spark.implicits._
+    val cfg = GraftConfig.default
+    val spec = SparkEntry.specFor(sfDir)
+    val dict = Synth.dictionary(spec)
+    val turns = Synth.transcripts(spec, dict)
+    val golden = Oracle.run(turns, dict, cfg)
+
+    def write(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$oraDir/$name")
+
+    write("kg_mentions", golden.mentions.toDF()
+      .select("mention_id", "conv_id", "turn_idx", "surface", "offset"))
+    write("kg_decisions", golden.decisions.toDF()
+      .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score"))
+    write("kg_components", Oracle.components(dict, golden).toDF("id", "component"))
+    write("kg_triples", golden.triples.toSeq.toDF("subj", "pred", "obj"))
+    write("kg_decision_stats", Oracle.decisionStats(golden.decisions)
+      .toDF("decision", "n", "n_recent", "recent_rate"))
+    write("kg_candidates_topk", golden.candidatesTopK.toDF())
+    write("kg_decisions_explained", golden.decisions.map(Oracle.explained(_, cfg))
+      .toDF("mention_id", "decision", "similarity_details", "reasoning"))
+    // fixture dictionary dump for twins that re-derive over the entity table
+    // (alias substring search; 1-hop neighbor rehydration)
+    write("fixtures_entities", spark.createDataset(dict).toDF()
+      .select("id", "name", "entity_type", "aliases"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.core.{GraftConfig, Scoring, TextSim}
+import graft.core.{Candidates, GraftConfig, Scoring, TextSim}
 import graft.model.{Decisions, EntityRecord, EntityScore}
 
 /** Single-record API veneer (SURVEY.md §7.2 M5) mirroring the reference's
@@ -37,6 +37,8 @@ object GraftApi {
         Scoring.embeddingText(e.name, e.aliases, e.definition, e.attributes), cfg.embeddingDim)
       (e, TextSim.tfVector(x1), emb)
     }
+    private[api] val candSides = Candidates.prep(entities, cfg)
+    private[api] val byId = entities.map(e => e.id -> e).toMap
   }
 
   private def scored(input: EntityRecord, dict: Dictionary, cfg: GraftConfig): Seq[(EntityRecord, EntityScore)] = {
@@ -60,13 +62,27 @@ object GraftApi {
       f"fuzz=${s.fuzz_score}%.4f lev=${s.levenshtein_score}%.4f " +
       f"final=${s.final_score}%.4f typeMatch=$typeMatch"
 
-  /** POST /match-candidates analog: top-k with rank + details text. */
+  /** POST /match-candidates analog: the reference's retrieval merge
+    * (vector over-fetch + type-branch cosine floor F2 + first-wins name
+    * dedup F4 + truncate, disambiguation.py:168-224) then comprehensive
+    * scoring with rank — via the shared core.Candidates path the Spark
+    * kg_candidates_topk query and the oracle also run. */
   def matchCandidates(input: EntityRecord, dict: Dictionary,
-      cfg: GraftConfig = GraftConfig.default, topK: Int = 10): Seq[Candidate] =
-    scored(input, dict, cfg).take(topK).zipWithIndex.map { case ((e, s), i) =>
-      Candidate(e, s, i + 1,
-        details(s, input.entity_type.isDefined && input.entity_type == e.entity_type))
-    }
+      cfg: GraftConfig = GraftConfig.default, topK: Int = 10): Seq[Candidate] = {
+    val x1 = Scoring.scoringText(input.name, input.aliases, input.definition)
+    val tf = TextSim.tfVector(x1)
+    val emb = TextSim.embed(
+      Scoring.embeddingText(input.name, input.aliases, input.definition, input.attributes),
+      cfg.embeddingDim)
+    Candidates.matchCandidates(
+        input.name, input.aliases, input.entity_type, tf, emb,
+        dict.candSides, cfg.copy(topK = topK), excludeId = Some(input.id))
+      .map { r =>
+        val e = dict.byId(r.entityId)
+        Candidate(e, r.score, r.rank,
+          details(r.score, input.entity_type.isDefined && input.entity_type == e.entity_type))
+      }
+  }
 
   /** POST /auto-decide analog: best candidate -> threshold decision.
     * No candidates => create with confidence 1.0 (disambiguation.py:126-135). */
@@ -78,13 +94,18 @@ object GraftApi {
           "no candidates: create new entity")
       case Some((best, s)) =>
         val d = Scoring.decide(s.final_score, cfg)
+        // shared templates (Scoring.*ReasonTemplate) keep this surface
+        // byte-identical with kg_decisions_explained and the oracle
         val reasoning = d match {
           case Decisions.Merge =>
-            f"final ${s.final_score}%.4f >= high threshold ${cfg.highThreshold}%.2f: merge with ${best.id}"
+            String.format(java.util.Locale.US, Scoring.MergeReasonTemplate,
+              Double.box(s.final_score), Double.box(cfg.highThreshold), best.id)
           case Decisions.Create =>
-            f"final ${s.final_score}%.4f <= low threshold ${cfg.lowThreshold}%.2f: create new entity"
+            String.format(java.util.Locale.US, Scoring.CreateReasonTemplate,
+              Double.box(s.final_score), Double.box(cfg.lowThreshold))
           case _ =>
-            f"final ${s.final_score}%.4f between thresholds: ambiguous"
+            String.format(java.util.Locale.US, Scoring.AmbiguousReasonTemplate,
+              Double.box(s.final_score))
         }
         Result(d,
           if (d == Decisions.Merge) Some(best.id) else None,

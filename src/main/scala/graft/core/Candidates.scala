@@ -1,0 +1,98 @@
+package graft.core
+
+import graft.model.{EntityRecord, EntityScore}
+
+/** Reference-faithful candidate retrieval for the match-candidates surface
+  * (POST /match-candidates): the `_smart_search_similar_entities` merge
+  * semantics (/root/reference/services/disambiguation.py:168-224) followed by
+  * comprehensive scoring + 1-based rank (:226-257).
+  *
+  * Pure Scala, ORACLE-SHARED: the Spark top-k query runs this inside a UDF
+  * against the broadcast dictionary, the no-Spark oracle and the GraftApi
+  * veneer call it directly — all three produce bit-identical rows.
+  *
+  * Exact reference semantics cloned:
+  *  - vector branch: exact retrieval over the whole dictionary, over-fetched
+  *    to 2*top_k (disambiguation.py:172; FAISS IndexFlatIP is exact search,
+  *    vectorization.py:516-519 — the engine standardizes on cosine, SURVEY X4);
+  *  - type branch (F1): if the query has a type, every same-type entity is
+  *    cosine-scored (:183-191) and kept only above the similarity floor
+  *    cosine > 0.1 (F2, :193-194), sorted by cosine desc (:197);
+  *  - merge (F4): type-branch candidates FIRST, then vector hits, dedup
+  *    first-wins keyed on entity NAME — not id (:199-213) — truncated to
+  *    top_k (:215);
+  *  - the survivors get the full 4-way comprehensive score and are sorted by
+  *    final score desc with a STABLE sort (Python list.sort is stable,
+  *    :146/:237), rank assigned 1-based (:238).
+  *
+  * Scale note: per-query work is O(|dict|) against a broadcast dictionary —
+  * the same shape as the reference's per-request exact scan, and the right
+  * plan while dictionaries are broadcastable (MBs even at huge corpus size).
+  * For dictionaries beyond executor memory the blocked candidate join
+  * (pipeline.Blocking + Scorer.scorePairs/topK) remains the scale path.
+  */
+object Candidates {
+
+  /** One dictionary entity with its derived scoring sides precomputed. */
+  final case class PreppedEntity(
+      id: String,
+      name: String,
+      etype: Option[String],
+      aliases: Seq[String],
+      tf: TextSim.TfVec,
+      emb: Array[Float])
+
+  /** Prep + deterministic order (sorted by id): ties in any later stable
+    * sort resolve by dictionary id order on every JVM / partition layout. */
+  def prep(dict: Seq[EntityRecord], cfg: GraftConfig): IndexedSeq[PreppedEntity] =
+    dict.sortBy(_.id).map { e =>
+      PreppedEntity(
+        e.id, e.name, e.entity_type, e.aliases,
+        TextSim.tfVector(Scoring.scoringText(e.name, e.aliases, e.definition)),
+        TextSim.embed(
+          Scoring.embeddingText(e.name, e.aliases, e.definition, e.attributes),
+          cfg.embeddingDim))
+    }.toIndexedSeq
+
+  final case class Ranked(entityId: String, score: EntityScore, rank: Int)
+
+  /** Top-k candidates for one query side. `excludeId` skips a self-match
+    * (the API veneer's input entity may itself be in the dictionary). */
+  def matchCandidates(
+      name: String,
+      aliases: Seq[String],
+      qType: Option[String],
+      qTf: TextSim.TfVec,
+      qEmb: Array[Float],
+      dict: IndexedSeq[PreppedEntity],
+      cfg: GraftConfig,
+      excludeId: Option[String] = None): Seq[Ranked] = {
+    val pool = excludeId match {
+      case Some(x) => dict.filterNot(_.id == x)
+      case None    => dict
+    }
+    val withCos = pool.map(e => (e, TextSim.cosine(qEmb, e.emb)))
+    // vector branch: exact top 2*top_k by embedding similarity
+    val vector = withCos.sortBy(-_._2).take(cfg.topK * 2)
+    // type branch: same-type entities above the cosine floor (F1 + F2)
+    val typeBranch = qType match {
+      case Some(t) =>
+        withCos.filter { case (e, c) => e.etype.contains(t) && c > cfg.cosineFloor }
+          .sortBy(-_._2)
+      case None => IndexedSeq.empty
+    }
+    // F4: first-wins dedup on entity NAME, type branch first, truncate
+    val seen = scala.collection.mutable.HashSet[String]()
+    val merged = (typeBranch ++ vector)
+      .filter { case (e, _) => seen.add(e.name) }
+      .take(cfg.topK)
+    // comprehensive scoring; stable sort preserves merge order on ties
+    merged.map { case (e, _) =>
+      e.id -> Scoring.pairScorePrepped(
+        name, aliases, qType, qTf, qEmb,
+        e.name, e.aliases, e.etype, e.tf, e.emb, cfg)
+    }.sortBy { case (_, s) => -s.final_score }
+      .zipWithIndex
+      .map { case ((id, s), i) => Ranked(id, s, i + 1) }
+  }
+}

@@ -28,6 +28,12 @@ final case class GraftConfig(
     typeMismatchPenalty: Double = 0.1,
     topK: Int = 10,
     cosineFloor: Double = 0.1,
+    // CrossEncoder logit normalization range (disambiguation.py:42-51):
+    // linear (s - min)/(max - min), clamped [0,1]. The offline TF-cosine
+    // surrogate is already in [0,1], so these apply only when a real logit
+    // model is plugged in — retained as config per SURVEY X5.
+    ceNormMin: Double = -6.5,
+    ceNormMax: Double = 7.7,
     embeddingDim: Int = 64,
     // blocking: char n-gram sizes used as candidate-join keys
     blockNgramSize: Int = 3,
@@ -47,6 +53,11 @@ final case class GraftConfig(
     forceDecision: Boolean = false
 ) {
   def midThreshold: Double = (highThreshold + lowThreshold) / 2.0
+
+  /** X5 — linear CrossEncoder-logit normalization, clamped to [0,1]
+    * (reference disambiguation.py:42-51). */
+  def ceNormalize(logit: Double): Double =
+    math.min(1.0, math.max(0.0, (logit - ceNormMin) / (ceNormMax - ceNormMin)))
 }
 
 object GraftConfig { val default: GraftConfig = GraftConfig() }

@@ -126,6 +126,18 @@ object Scoring {
         s.bge_score, s.cross_encoder_score, s.fuzz_score, s.levenshtein_score, s.final_score)
   }
 
+  /** X13/X14 format templates — shared literals so the Spark format_string
+    * surface (kg_decisions_explained) and the pure-Scala oracle twin render
+    * byte-identical text (both run java.util.Formatter under Locale.US).
+    * English restatements of the reference's similarity_details
+    * (disambiguation.py:439-463) and reasoning templates (:388-407) —
+    * documented divergence from the Chinese originals; thresholds are
+    * interpolated from config, never hardcoded. */
+  val DetailsTemplate = "bge=%.4f cross=%.4f fuzz=%.4f lev=%.4f final=%.4f"
+  val MergeReasonTemplate = "final %.4f >= high threshold %.2f: merge with %s"
+  val CreateReasonTemplate = "final %.4f <= low threshold %.2f: create new entity"
+  val AmbiguousReasonTemplate = "final %.4f between thresholds: ambiguous"
+
   /** The mention viewed as a query entity: name = surface, definition = the
     * turn text (context), no aliases/attributes. */
   def mentionScoringText(m: Mention): String = scoringText(m.surface, Nil, Some(m.context))

@@ -16,12 +16,16 @@ import scala.util.hashing.MurmurHash3
   *                 SETS (idf-style), which bounds the worst blocking bucket
   *                 at scale and keeps the semantics reproducible in plain SQL
   *                 for the oracle.
-  *  - minhashLsh:  128 minhashes (2-universal h1+i*h2 combine, O(|sh|+H)
-  *                 per doc, not O(|sh|*H)), 32 bands x 4 rows, bucket join,
-  *                 then exact-jaccard verification of candidates. Verified
-  *                 output equals the exhaustive join wherever LSH recall is 1
-  *                 (collision prob at the 0.6 cutoff with planted dups at
-  *                 j>=0.88: miss prob < 1e-13 per pair).
+  *  - minhashLsh:  128 minhashes via the 2-universal combine h1+(i+1)*h2 —
+  *                 TWO murmur evaluations per shingle plus H cheap ALU
+  *                 combines (the inner loop is still O(|sh|*H) multiply-adds;
+  *                 the combine saves the H-2 hash evaluations, not the loop),
+  *                 32 bands x 4 rows, bucket join, then exact-jaccard
+  *                 verification of candidates. Verified output equals the
+  *                 exhaustive join wherever LSH recall is 1 (collision prob
+  *                 at the 0.6 cutoff with planted dups at j>=0.88: miss prob
+  *                 < 1e-13 per pair). Callers should persist `sets` — the
+  *                 signature and verify stages each walk it.
   *  - simhash:     64-bit token-hash sign-aggregate; near-dups via 4x16-bit
   *                 band pigeonhole (hamming<=3 guarantees a shared band).
   *  - embedding:   cosine near-dup over double-cast vectors; sequential
@@ -81,15 +85,20 @@ object Dedup {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
-  /** MinHash signature via 2-universal combination sig_i = h1 + (i+1)*h2. */
+  /** MinHash signature via the 2-universal combination sig_i = h1 + (i+1)*h2:
+    * each shingle is murmur-hashed exactly twice, then folded into all H
+    * lanes with one multiply-add each (O(|sh|*H) ALU, O(|sh|) hashing). */
   def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { s =>
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val s = it.next()
       val h1 = hash64(s, 0x2545f491)
       val h2 = hash64(s, 0x1b873593) | 1L // odd => full-period
+      var h = h1
       var i = 0
       while (i < numHashes) {
-        val h = h1 + (i + 1) * h2
+        h += h2
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -100,8 +109,13 @@ object Dedup {
   /** LSH candidate pairs: band the signatures, bucket-join, emit distinct
     * (doc_a < doc_b) pairs. Buckets are tiny (near-dup clusters), so the
     * per-bucket pair expansion is safe; a groupBy on (band, bucket-hash) is
-    * the only shuffle. */
-  def minhashCandidates(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * the only shuffle. Degenerate buckets above `maxBucket` members (e.g.
+    * thousands of boilerplate docs sharing a band) are SKIPPED rather than
+    * expanded quadratically in one task — identical docs are already covered
+    * by exact dedup, and at the default 4096 the cap is unreachable on
+    * non-pathological corpora. */
+  def minhashCandidates(sets: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sig = udf((sh: Seq[String]) => minhashSig(sh, numHashes))
@@ -119,7 +133,7 @@ object Dedup {
       for { i <- s.indices; j <- (i + 1) until s.size } yield (s(i), s(j))
     })
     banded.groupBy("band_idx", "bucket").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairsInBucket(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()

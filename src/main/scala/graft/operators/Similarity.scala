@@ -58,6 +58,9 @@ object Similarity {
     * centroid) as a driver-side model (C*dim doubles: model-sized). */
   def kmeans(corpus: DataFrame, c: Int, iters: Int): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
+    // the Lloyd loop walks the corpus iters+1 times — cache for its
+    // lifetime only, released before returning (callers keep a lazy plan)
+    corpus.persist()
     var centroids: Array[(Int, Array[Double])] =
       corpus.orderBy("vec_id").limit(c).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getAs[Seq[Double]]("v").toArray) }
@@ -82,6 +85,7 @@ object Similarity {
           (cell, arr)
       }
     }
+    corpus.unpersist(false)
     centroids
   }
 

@@ -1,58 +1,73 @@
 package graft.oracle
 
-import graft.core.{GraftConfig, MentionDetector, Scoring, TextSim}
+import java.util.Locale
+
+import graft.core.{Candidates, GraftConfig, MentionDetector, Scoring, TextSim}
 import graft.model._
 
 /** No-Spark golden oracle: the reference pipeline math executed brute-force
   * over in-memory fixtures. The Spark engine's decisions and (subj,pred,obj)
   * triples are compared against this at P/R >= 0.95 (BASELINE.json
-  * north_rule; target 1.0 on deterministic fixtures).
+  * north_rule; target 1.0 on deterministic fixtures), and the driver's
+  * correctness gate hash-compares the engine's kg_* query outputs against
+  * this oracle's rows materialized as parquet (Verify).
   *
   * Brute force = every mention scored against EVERY dictionary entity (the
   * honest analog of the reference's exact IndexFlatIP retrieval,
   * /root/reference/services/vectorization.py:516-519: exact search, no
   * approximation) — the engine's blocked candidate join must approximate
-  * this top-1.
+  * this top-1. The top-k candidates surface instead clones the reference's
+  * retrieval merge exactly (over-fetch + type-branch floor + name dedup +
+  * truncate) via the shared core.Candidates.matchCandidates.
   */
 object Oracle {
+
+  /** One kg_candidates_topk row. */
+  final case class CandidateRow(
+      mention_id: String, entity_id: String, rank: Int, final_score: Double)
 
   final case class Result(
       mentions: Seq[Mention],
       decisions: Seq[Decision],
       sameAs: Seq[(String, String)], // (dup, canonical)
-      triples: Set[Triple])
+      triples: Set[Triple],
+      candidatesTopK: Seq[CandidateRow])
 
   def run(turns: Seq[Turn], dict: Seq[EntityRecord], cfg: GraftConfig): Result = {
     val idx = MentionDetector.buildIndex(dict)
     val mentions = turns.sortBy(t => (t.conv_id, t.turn_idx)).flatMap(MentionDetector.detect(_, idx))
 
-    // precompute entity-side texts + embeddings
-    val entX1 = dict.map(e => e.id -> Scoring.scoringText(e.name, e.aliases, e.definition)).toMap
-    val entEmb = dict.map { e =>
-      e.id -> TextSim.embed(
-        Scoring.embeddingText(e.name, e.aliases, e.definition, e.attributes), cfg.embeddingDim)
-    }.toMap
+    // entity sides prepped once (TF vector of X1, embedding of X2) — the
+    // identical code path the Spark pipeline broadcasts
+    val prepped = Candidates.prep(dict, cfg)
+    val byId = dict.map(e => e.id -> e).toMap
 
-    val decisions = mentions.map { m =>
-      val mX1 = Scoring.mentionScoringText(m)
+    val perMention = mentions.map { m =>
+      val mTf = TextSim.tfVector(Scoring.mentionScoringText(m))
       val mEmb = TextSim.embed(Scoring.mentionEmbeddingText(m), cfg.embeddingDim)
-      val scored = dict.map { e =>
-        val s = Scoring.pairScore(
-          m.surface, Nil, m.mention_type, mX1, mEmb,
-          e.name, e.aliases, e.entity_type, entX1(e.id), entEmb(e.id), cfg)
-        (e, s)
+      val scored = prepped.map { e =>
+        e -> Scoring.pairScorePrepped(
+          m.surface, Nil, m.mention_type, mTf, mEmb,
+          e.name, e.aliases, e.etype, e.tf, e.emb, cfg)
       }
       val best = scored.sortBy { case (e, s) => (-s.final_score, e.id) }.headOption
-      Scoring.decideMention(m, best, cfg)
+        .map { case (e, s) => (byId(e.id), s) }
+      val decision = Scoring.decideMention(m, best, cfg)
+      val topk = Candidates
+        .matchCandidates(m.surface, Nil, m.mention_type, mTf, mEmb, prepped, cfg)
+        .map(r => CandidateRow(m.mention_id, r.entityId, r.rank, r.score.final_score))
+      (decision, topk)
     }
+    val decisions = perMention.map(_._1)
+    val candidatesTopK = perMention.flatMap(_._2)
 
     // dictionary self-dedup edges: entity pairs scoring >= HIGH threshold
     val dupEdges = for {
-      (a, i) <- dict.zipWithIndex
-      b <- dict.drop(i + 1)
-      s = Scoring.pairScore(
-        a.name, a.aliases, a.entity_type, entX1(a.id), entEmb(a.id),
-        b.name, b.aliases, b.entity_type, entX1(b.id), entEmb(b.id), cfg)
+      (a, i) <- prepped.zipWithIndex
+      b <- prepped.drop(i + 1)
+      s = Scoring.pairScorePrepped(
+        a.name, a.aliases, a.etype, a.tf, a.emb,
+        b.name, b.aliases, b.etype, b.tf, b.emb, cfg)
       if s.final_score >= cfg.highThreshold
     } yield (a.id, b.id)
 
@@ -72,7 +87,52 @@ object Oracle {
       triples += Triple(d.mention_id.split("#").take(2).mkString("#"), "mentions",
         canon.getOrElse(r, r))
 
-    Result(mentions, decisions, sameAs, triples.result())
+    Result(mentions, decisions, sameAs, triples.result(), candidatesTopK)
+  }
+
+  /** (id, component) labeling over dict ids + created ids — the oracle twin
+    * of the pipeline's kg_components output. */
+  def components(dict: Seq[EntityRecord], r: Result): Seq[(String, String)] = {
+    val nodes = (dict.map(_.id) ++ r.decisions.flatMap(_.resolved_id)).distinct
+    val canon = r.sameAs.toMap
+    nodes.map(n => n -> canon.getOrElse(n, n)).sorted
+  }
+
+  /** (decision, n, n_recent, recent_rate) — twin of
+    * KgPipeline.decisionStats: totals plus the trailing-`recentN` window
+    * (reference "last 1000" stats, disambiguation.py:487-509). `decisions`
+    * must be in (conv_id, turn_idx, offset) order, which `run` guarantees. */
+  def decisionStats(
+      decisions: Seq[Decision], recentN: Int = 1000): Seq[(String, Long, Long, Double)] = {
+    val all = decisions.groupBy(_.decision).view.mapValues(_.size.toLong).toMap
+    val recent = decisions.takeRight(recentN)
+    val rc = recent.groupBy(_.decision).view.mapValues(_.size.toLong).toMap
+    val rt = recent.size
+    all.toSeq.sortBy(_._1).map { case (d, n) =>
+      val nr = rc.getOrElse(d, 0L)
+      (d, n, nr, nr.toDouble / rt)
+    }
+  }
+
+  /** (mention_id, decision, similarity_details, reasoning) — twin of the
+    * kg_decisions_explained query; same shared templates, same
+    * Locale.US Formatter semantics as Spark's format_string. */
+  def explained(d: Decision, cfg: GraftConfig): (String, String, String, String) = {
+    val details = String.format(Locale.US, Scoring.DetailsTemplate,
+      Double.box(d.bge_score), Double.box(d.cross_encoder_score),
+      Double.box(d.fuzz_score), Double.box(d.levenshtein_score),
+      Double.box(d.final_score))
+    val reasoning = d.decision match {
+      case Decisions.Merge =>
+        String.format(Locale.US, Scoring.MergeReasonTemplate,
+          Double.box(d.final_score), Double.box(cfg.highThreshold), d.match_id.orNull)
+      case Decisions.Create =>
+        String.format(Locale.US, Scoring.CreateReasonTemplate,
+          Double.box(d.final_score), Double.box(cfg.lowThreshold))
+      case _ =>
+        String.format(Locale.US, Scoring.AmbiguousReasonTemplate, Double.box(d.final_score))
+    }
+    (d.mention_id, d.decision, details, reasoning)
   }
 
   /** Union-find connected components; canonical = lexicographic min id.

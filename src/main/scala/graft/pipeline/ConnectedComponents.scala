@@ -28,15 +28,26 @@ object ConnectedComponents {
     * and does not parallelize). The distributed loop remains the fallback
     * for genuinely huge dictionaries. */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
-          checkpointEvery: Int = 3, driverThreshold: Long = 5000000L): DataFrame = {
+          checkpointEvery: Int = 3, driverThreshold: Long = defaultDriverThreshold): DataFrame = {
     val vs = vertices.select(col("id")).persist()
     val es = edges.select(col("src"), col("dst")).persist()
     val size = vs.count() + es.count()
     val out =
       if (size <= driverThreshold) runDriver(vs, es)
       else runDistributed(vs, es, maxIter, checkpointEvery)
+    // runDriver has collected; runDistributed caches its labels — either
+    // way the inputs are no longer needed (a cache miss just recomputes)
+    vs.unpersist(false)
+    es.unpersist(false)
     out
   }
+
+  /** Driver fast-path ceiling derived from the actual driver heap: ~2M rows
+    * per 8 GiB (strings + Row boxing + the union-find map comfortably fit),
+    * capped at 2M — collecting 5M rows onto an 8g driver risked OOM near the
+    * old constant threshold. */
+  def defaultDriverThreshold: Long =
+    math.min(2000000L, Runtime.getRuntime.maxMemory() / 4096)
 
   private def runDriver(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession

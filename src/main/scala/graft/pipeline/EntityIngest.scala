@@ -26,17 +26,45 @@ object EntityIngest {
       .otherwise(array(col("aliases")))
   }
 
+  private def jvToString(v: org.json4s.JValue): String = {
+    import org.json4s._
+    v match {
+      case JString(s)  => s
+      case JInt(i)     => i.toString
+      case JLong(l)    => l.toString
+      case JDouble(d)  => d.toString
+      case JDecimal(d) => d.toString
+      case JBool(b)    => b.toString
+      case JNull       => null
+      case other => org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(other))
+    }
+  }
+
+  /** Single real-JSON parse (json4s ships on the Spark classpath) with
+    * per-VALUE promotion, so MIXED objects like {"a":["x"],"b":"y"} keep
+    * every entry — the reference keeps any successfully parsed dict as-is
+    * (neo4j_database.py:510-520); a schema-typed from_json would null the
+    * whole map on the first value that disagrees with the schema. Scalars
+    * promote to single-element lists; unparseable/non-object input => {}. */
   private val attributesCol: org.apache.spark.sql.Column = {
-    // two-pass parse: values may be arrays or scalars; scalars promote to
-    // single-element lists (the reference passes dicts through untouched —
-    // fixture values are string lists, SURVEY.md §1.1)
-    val asArrays = from_json(col("attributes"), org.apache.spark.sql.types.DataType.fromDDL("map<string,array<string>>"))
-    val asScalars = from_json(col("attributes"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
-    val promoted = transform_values(asScalars, (_, v) => array(v))
-    when(col("attributes").isNull, map().cast("map<string,array<string>>"))
-      .when(asArrays.isNotNull, asArrays)
-      .when(asScalars.isNotNull, promoted)
-      .otherwise(map().cast("map<string,array<string>>"))
+    val parse = udf { raw: String =>
+      import org.json4s._
+      if (raw == null || raw.trim.isEmpty) Map.empty[String, Seq[String]]
+      else try {
+        org.json4s.jackson.JsonMethods.parse(raw) match {
+          case JObject(fields) =>
+            fields.map { case (k, v) =>
+              k -> (v match {
+                case JArray(items) => items.map(jvToString)
+                case other         => Seq(jvToString(other))
+              })
+            }.toMap
+          case _ => Map.empty[String, Seq[String]]
+        }
+      } catch { case _: Throwable => Map.empty[String, Seq[String]] }
+    }
+    parse(col("attributes"))
   }
 
   /** df columns (all string-typed, as an external dump would have them):

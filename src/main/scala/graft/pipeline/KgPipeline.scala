@@ -65,10 +65,26 @@ object KgPipeline {
       TripleEmitter.all(entities, decisions, components)
     }
 
-    // decision-rate stats (reference get_decision_statistics analog,
-    // /root/reference/services/disambiguation.py:487-509)
-    val decisionStats = decisions.groupBy("decision").agg(count(lit(1)).as("n"))
+    Outputs(mentions, decisions, components, triples, decisionStats(decisions))
+  }
 
-    Outputs(mentions, decisions, components, triples, decisionStats)
+  /** Decision-rate stats (reference get_decision_statistics,
+    * /root/reference/services/disambiguation.py:487-509): total counts plus
+    * counts/rates over the trailing `recentN` decisions — the reference's
+    * "last 1000 history rows" window (:490), made deterministic by the total
+    * order (conv_id, turn_idx, offset) in place of wall-clock timestamps.
+    * The limit is a TakeOrdered (top-1000 global), cheap at any scale. */
+  def decisionStats(decisions: DataFrame, recentN: Int = 1000): DataFrame = {
+    val all = decisions.groupBy("decision").agg(count(lit(1)).as("n"))
+    val recent = decisions
+      .orderBy(col("conv_id").desc, col("turn_idx").desc, col("offset").desc)
+      .limit(recentN)
+    val recentCounts = recent.groupBy("decision").agg(count(lit(1)).as("n_recent"))
+    val recentTotal = recent.agg(count(lit(1)).as("recent_total"))
+    all.join(recentCounts, Seq("decision"), "left_outer")
+      .withColumn("n_recent", coalesce(col("n_recent"), lit(0L)))
+      .crossJoin(broadcast(recentTotal))
+      .withColumn("recent_rate", col("n_recent") / col("recent_total"))
+      .select("decision", "n", "n_recent", "recent_rate")
   }
 }

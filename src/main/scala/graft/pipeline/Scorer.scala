@@ -124,46 +124,92 @@ object Scorer {
 
   /** One scoring side, driver/broadcast-resident. */
   final case class EntSide(
-      name: String, aliases: Seq[String], etype: String,
+      id: String, name: String, aliases: Seq[String], etype: String,
       tfTokens: Array[Long], tfCounts: Array[Int], tfNorm: Double,
       emb: Array[Float])
 
-  /** Dictionary as a broadcastable id -> prepped-side map (dictionary-scale:
-    * MBs, per north_star "broadcast dictionaries"). */
-  def entitySideMap(entities: DataFrame): Map[String, EntSide] =
+  /** Dictionary as a broadcastable prepped-side array, SORTED BY ID so every
+    * sweep below is deterministic (dictionary-scale: MBs, per north_star
+    * "broadcast dictionaries"). */
+  def entitySides(entities: DataFrame): Array[EntSide] =
     prepareEntities(entities).select(
         col("id"), col("name"), col("aliases"), col("entity_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("emb"))
       .collect().map { r =>
-        r.getString(0) -> EntSide(
+        EntSide(
+          r.getString(0),
           r.getString(1),
           Option(r.getSeq[String](2)).getOrElse(Nil),
           r.getString(3),
           r.getSeq[Long](4).toArray, r.getSeq[Int](5).toArray, r.getDouble(6),
           r.getSeq[Float](7).toArray)
-      }.toMap
+      }.sortBy(_.id)
 
-  /** Fused score-and-argmax: per mention, score ALL its blocked candidates
-    * against the broadcast dictionary inside one UDF call and return the
-    * best (final desc, id asc). Replaces the row-per-pair join + window
-    * top-1: candidate rows stay (mention_id, entity_id) ids-only, the fat
-    * mention side is materialized once per mention instead of once per
-    * pair, and the top-1 shuffle disappears. */
+  /** Fused score-and-argmax, EXACT vs the brute-force oracle: per mention,
+    * fully score the blocked candidates (they seed a high best quickly),
+    * then sweep the remaining broadcast dictionary under a branch-and-bound
+    * upper bound — fuzz and lev are both <= 1, so
+    *   final <= (w_bge*bge + w_ce*ce + w_fuzz + w_lev) * typeMult
+    * with bge/ce/typeMult computed exactly (they are the cheap components:
+    * one dim-D dot product and one primitive TF merge-join). Only candidates
+    * whose bound can still beat the current best pay the expensive
+    * name/alias edit-distance cross-products, so the sweep costs O(|dict|)
+    * cheap flops per mention and a handful of full scores — this IS the
+    * reference's exact retrieval (FAISS IndexFlatIP scans every vector,
+    * vectorization.py:516-519) rather than an approximation of it. The
+    * blocked join remains the recall filter for beyond-broadcast
+    * dictionaries, where the sweep is skipped (pass sweep=false).
+    *
+    * Candidate rows stay (mention_id, entity_id) ids-only, the fat mention
+    * side is materialized once per mention instead of once per pair, and
+    * the top-1 shuffle disappears (vs the row-per-pair join + window). */
+  /** Index of id in the id-sorted sides array, or -1. */
+  private def findById(dict: Array[EntSide], id: String): Int = {
+    var lo = 0; var hi = dict.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = dict(mid).id.compareTo(id)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
   def bestCandidateUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Map[String, EntSide]],
-      cfg: GraftConfig) = udf { (m: Row, cands: Seq[String]) =>
+      bc: org.apache.spark.broadcast.Broadcast[Array[EntSide]],
+      cfg: GraftConfig,
+      sweep: Boolean = true) = udf { (m: Row, cands: Seq[String]) =>
     val (surface, _, mType, tfM, embM) = sideFromRow(m)
+    val dict = bc.value
     var bestId: String = null
     var best: graft.model.EntityScore = null
-    cands.foreach { id =>
-      bc.value.get(id).foreach { e =>
-        val s = Scoring.pairScorePrepped(
-          surface, Nil, mType, tfM, embM,
-          e.name, e.aliases, Option(e.etype),
-          TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm), e.emb, cfg)
-        if (best == null || s.final_score > best.final_score ||
-            (s.final_score == best.final_score && id < bestId)) {
-          best = s; bestId = id
+    def consider(e: EntSide): Unit = {
+      val s = Scoring.pairScorePrepped(
+        surface, Nil, mType, tfM, embM,
+        e.name, e.aliases, Option(e.etype),
+        TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm), e.emb, cfg)
+      if (best == null || s.final_score > best.final_score ||
+          (s.final_score == best.final_score && e.id < bestId)) {
+        best = s; bestId = e.id
+      }
+    }
+    val candSet = if (cands == null) Set.empty[String] else cands.toSet
+    candSet.foreach { id =>
+      val i = findById(dict, id)
+      if (i >= 0) consider(dict(i))
+    }
+    if (sweep) {
+      val maxRest = cfg.fuzzWeight + cfg.levenshteinWeight
+      dict.foreach { e =>
+        if (!candSet.contains(e.id)) {
+          val bge = TextSim.cosine(embM, e.emb)
+          val ce = TextSim.tfCosine(tfM, TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm))
+          val mult = Scoring.typeMultiplier(mType, Option(e.etype), cfg)
+          val bound =
+            (cfg.bgeWeight * bge + cfg.crossEncoderWeight * ce + maxRest) * mult
+          if (best == null || bound > best.final_score ||
+              (bound == best.final_score && e.id < bestId)) consider(e)
         }
       }
     }
@@ -181,14 +227,17 @@ object Scorer {
       pairs: DataFrame,
       entities: DataFrame,
       cfg: GraftConfig): DataFrame = {
-    val bc = spark.sparkContext.broadcast(entitySideMap(entities))
+    val bc = spark.sparkContext.broadcast(entitySides(entities))
     val cands = pairs.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
     val ment = mentionsPrep.select(
       col("mention_id"),
       sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
     val bestU = bestCandidateUdf(bc, cfg)
-    val best = ment.join(cands, "mention_id")
+    // left join: a mention with no blocked candidates still gets the exact
+    // bound-pruned dictionary sweep (empty-dictionary corpora fall through
+    // to the create-with-confidence-1.0 branch below)
+    val best = ment.join(cands, Seq("mention_id"), "left_outer")
       .withColumn("b", bestU(col("m_side"), col("cands")))
       .filter(col("b").isNotNull)
       .select(col("mention_id"), col("b._1").as("entity_id"),
@@ -204,7 +253,7 @@ object Scorer {
   private def decideFromBest(mentions: DataFrame, best: DataFrame, cfg: GraftConfig): DataFrame = {
     val createdId = udf((surface: String) => Scoring.createdId(surface))
     val joined = mentions
-      .select("mention_id", "conv_id", "turn_idx", "surface")
+      .select("mention_id", "conv_id", "turn_idx", "offset", "surface")
       .join(best, Seq("mention_id"), "left_outer")
     joined.withColumn("decision",
         when(col("entity_id").isNull, lit(graft.model.Decisions.Create))
@@ -228,8 +277,34 @@ object Scorer {
       .drop("entity_id")
   }
 
-  /** Per-mention top-k candidates with 1-based rank (reference
-    * match_candidates, disambiguation.py:226-257). */
+  /** Per-mention top-k candidates via the reference retrieval semantics
+    * (core.Candidates.matchCandidates: vector over-fetch + F2 type-branch
+    * cosine floor + F4 first-wins name dedup + truncate + stable final-desc
+    * rank) against the broadcast prepped dictionary. One narrow map over
+    * mentions — no pair shuffle, no window — replacing the row-per-pair
+    * scorePairs+topK path that copied the fat mention struct once per pair. */
+  def topKBroadcast(
+      spark: SparkSession,
+      mentionsPrep: DataFrame,
+      dict: IndexedSeq[graft.core.Candidates.PreppedEntity],
+      cfg: GraftConfig): DataFrame = {
+    val bc = spark.sparkContext.broadcast(dict)
+    val u = udf { m: Row =>
+      val (surface, _, mType, tfM, embM) = sideFromRow(m)
+      graft.core.Candidates.matchCandidates(surface, Nil, mType, tfM, embM, bc.value, cfg)
+        .map(r => (r.entityId, r.rank, r.score.final_score))
+    }
+    mentionsPrep.select(
+        col("mention_id"),
+        sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
+          col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
+      .withColumn("c", explode(u(col("m_side"))))
+      .select(col("mention_id"), col("c._1").as("entity_id"),
+        col("c._2").as("rank"), col("c._3").as("final_score"))
+  }
+
+  /** Per-mention top-k candidates with 1-based rank over pre-scored pairs
+    * (the blocked-join scale path for beyond-broadcast dictionaries). */
   def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("mention_id")
       .orderBy(col("final_score").desc, col("entity_id").asc)
@@ -243,7 +318,7 @@ object Scorer {
     val createdId = udf((surface: String) => Scoring.createdId(surface))
     val best = topK(scored, 1).drop("rank", "surface")
     val joined = mentions
-      .select("mention_id", "conv_id", "turn_idx", "surface")
+      .select("mention_id", "conv_id", "turn_idx", "offset", "surface")
       .join(best, Seq("mention_id"), "left_outer")
     val decided = joined.withColumn("decision",
       when(col("entity_id").isNull, lit(graft.model.Decisions.Create))

@@ -25,8 +25,12 @@ import graft.pipeline.{Blocking, EntityStore, MentionStage, Scorer}
 object StreamingKg {
 
   /** Per micro-batch: detect mentions, block, score, decide — identical
-    * code path to the batch pipeline — and append decisions to `outPath`
-    * (pred-partitioned parquet, checkpointed by the stream). */
+    * code path to the batch pipeline — written under
+    * `outPath/batch_id=<id>`, keyed on the foreachBatch batchId and
+    * OVERWRITTEN per batch: a micro-batch retry or restart-after-failure
+    * replays into the same directory instead of appending duplicates, so
+    * the sink is idempotent (effective exactly-once on top of the stream's
+    * checkpointed offsets). Readers see batch_id as a partition column. */
   def decisionsStream(
       spark: SparkSession,
       turns: Dataset[Turn],
@@ -39,16 +43,15 @@ object StreamingKg {
     turns.toDF().writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import batch.sparkSession.implicits._
         val mentions = MentionStage.detect(spark, batch.as[Turn], dict).toDF()
         val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
           .select(Scorer.mentionPrepCols.map(col): _*)
         val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg)
         val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, Set.empty)
-        val scored = Scorer.scorePairs(pairs, mentionsPrep, entities, cfg)
-        Scorer.decide(spark, mentions, scored, cfg)
-          .write.mode("append").parquet(outPath)
+        Scorer.decideBest(spark, mentions, mentionsPrep, pairs, entities, cfg)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
   }
 
