@@ -42,6 +42,13 @@ final case class GraftConfig(
     blockMaxDf: Long = 1000L,
     // salting replication factor for hot blocking keys
     saltBuckets: Int = 8,
+    // decision-tier switch: dictionaries up to this many entities are scored
+    // by the exact broadcast sweep (map-only over mentions — no candidate
+    // shuffle, no hot keys, bit-exact vs the brute-force oracle; per-mention
+    // cost grows O(|dict|) in cheap bound flops). Beyond it the blocked
+    // candidate join (n-gram/type/LSH keys + salting) takes over as the
+    // recall-gated scale path.
+    broadcastSweepMaxDict: Long = 10000L,
     // type blocking channel (reference type branch, disambiguation.py:175-197):
     // types with more entities than this cap fall back to the LSH channel
     // (a million-entity type would make the type key a quadratic hot key)

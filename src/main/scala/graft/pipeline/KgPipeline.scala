@@ -45,12 +45,7 @@ object KgPipeline {
     val decisions = cp.stage("decisions") {
       val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
         .select(Scorer.mentionPrepCols.map(col): _*).cache()
-      val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg).persist()
-      // mention-side hot keys: > ~1% of mentions sharing one key => salt
-      val mentionCount = math.max(mentions.count(), 1L)
-      val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
-      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
-      Scorer.decideBest(spark, mentions, mentionsPrep, pairs, entities, cfg)
+      decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg)
     }.persist() // reused by components, triples, stats
 
     val components = cp.stage("components") {
@@ -67,6 +62,37 @@ object KgPipeline {
 
     Outputs(mentions, decisions, components, triples, decisionStats(decisions))
   }
+
+  /** Tiered decision stage (shared by batch and streaming):
+    *
+    *  - dict <= cfg.broadcastSweepMaxDict: EXACT broadcast sweep — one
+    *    map-only pass over mentions against the broadcast dictionary with
+    *    branch-and-bound pruning. No candidate shuffle exists, so no hot
+    *    key can exist either: a mention corpus where one entity dominates
+    *    50% of turns costs exactly the same as a uniform one. Bit-exact vs
+    *    the brute-force oracle.
+    *  - larger dictionaries: blocked candidate join (full-surface/n-gram/
+    *    type/LSH keys), hot-key salting from a sketch pre-pass, then the
+    *    broadcast scorer restricted to the blocked seeds (sweep off) —
+    *    recall is the P/R-gated approximation, cost stays O(pairs). */
+  def decideTier(
+      spark: SparkSession,
+      mentions: DataFrame,
+      mentionsPrep: DataFrame,
+      entities: DataFrame,
+      entityB: => DataFrame,
+      dictSize: Long,
+      cfg: GraftConfig): DataFrame =
+    if (dictSize <= cfg.broadcastSweepMaxDict) {
+      Scorer.decideBest(spark, mentions, mentionsPrep, None, entities, cfg)
+    } else {
+      val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg).persist()
+      // mention-side hot keys: > ~1% of mentions sharing one key => salt
+      val mentionCount = math.max(mentions.count(), 1L)
+      val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
+      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
+      Scorer.decideBest(spark, mentions, mentionsPrep, Some(pairs), entities, cfg, sweep = false)
+    }
 
   /** Decision-rate stats (reference get_decision_statistics,
     * /root/reference/services/disambiguation.py:487-509): total counts plus

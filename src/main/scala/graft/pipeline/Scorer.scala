@@ -218,26 +218,39 @@ object Scorer {
       best.fuzz_score, best.levenshtein_score, best.final_score)
   }
 
-  /** Decide every mention from blocked candidate pairs via the broadcast
-    * scorer. `pairs`: (mention_id, id) — ids only. */
+  /** Decide every mention via the broadcast scorer.
+    *
+    * `pairs`: Some((mention_id, id) ids-only blocked candidates) seeds the
+    * scorer and — with sweep=false — bounds it (the beyond-broadcast scale
+    * tier, recall gated by P/R tests). None = pure exact sweep: a MAP-ONLY
+    * pass over mentions with no candidate shuffle and no hot keys at all —
+    * the right plan whenever the dictionary is broadcast-resident, since
+    * the bound-pruned sweep subsumes whatever a blocking join would seed. */
   def decideBest(
       spark: SparkSession,
       mentions: DataFrame,
       mentionsPrep: DataFrame,
-      pairs: DataFrame,
+      pairs: Option[DataFrame],
       entities: DataFrame,
-      cfg: GraftConfig): DataFrame = {
+      cfg: GraftConfig,
+      sweep: Boolean = true): DataFrame = {
     val bc = spark.sparkContext.broadcast(entitySides(entities))
-    val cands = pairs.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
     val ment = mentionsPrep.select(
       col("mention_id"),
       sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
-    val bestU = bestCandidateUdf(bc, cfg)
     // left join: a mention with no blocked candidates still gets the exact
     // bound-pruned dictionary sweep (empty-dictionary corpora fall through
     // to the create-with-confidence-1.0 branch below)
-    val best = ment.join(cands, Seq("mention_id"), "left_outer")
+    val withCands = pairs match {
+      case Some(p) =>
+        val cands = p.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
+        ment.join(cands, Seq("mention_id"), "left_outer")
+      case None =>
+        ment.withColumn("cands", lit(null).cast("array<string>"))
+    }
+    val bestU = bestCandidateUdf(bc, cfg, sweep = sweep || pairs.isEmpty)
+    val best = withCands
       .withColumn("b", bestU(col("m_side"), col("cands")))
       .filter(col("b").isNotNull)
       .select(col("mention_id"), col("b._1").as("entity_id"),

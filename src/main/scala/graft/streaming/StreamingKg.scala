@@ -39,7 +39,7 @@ object StreamingKg {
       outPath: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val entities = EntityStore.prepare(spark, dict, cfg).cache()
-    val entityB = Blocking.entityBlocks(entities, cfg).cache()
+    lazy val entityB = Blocking.entityBlocks(entities, cfg).cache()
     turns.toDF().writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -48,9 +48,8 @@ object StreamingKg {
         val mentions = MentionStage.detect(spark, batch.as[Turn], dict).toDF()
         val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
           .select(Scorer.mentionPrepCols.map(col): _*)
-        val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg)
-        val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, Set.empty)
-        Scorer.decideBest(spark, mentions, mentionsPrep, pairs, entities, cfg)
+        graft.pipeline.KgPipeline
+          .decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg)
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
   }

@@ -41,6 +41,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(runPipeline(2) == runPipeline(13))
   }
 
+  test("forced blocked-join tier (mega-dict scale path) holds P/R >= 0.95 vs the oracle") {
+    import spark.implicits._
+    // broadcastSweepMaxDict=0 forces the n-gram/type/LSH candidate join +
+    // salting path the pipeline uses beyond broadcast-resident dictionaries
+    val out = KgPipeline.run(spark,
+      TranscriptSource.fromSeq(spark, turns), dict, cfg.copy(broadcastSweepMaxDict = 0L))
+    val engine = out.triples.select("subj", "pred", "obj").as[Triple].collect().toSet
+    val (p, r) = Oracle.precisionRecall(engine, golden.triples)
+    withClue(f"P=$p%.4f R=$r%.4f") { assert(p >= 0.95 && r >= 0.95) }
+  }
+
   test("decisions cover all three branches and stats match the oracle") {
     import spark.implicits._
     val out = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg)
