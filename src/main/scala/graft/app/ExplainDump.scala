@@ -14,7 +14,10 @@ object ExplainDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "j5_multijoin_revenue", "s4_substring_search",
-        "ann_brute_topk", "dedup_ngram_jaccard", "w2_topk_per_group")
+        "ann_brute_topk", "dedup_ngram_jaccard", "w2_topk_per_group",
+        // kg_onehop: the pred filter must show as PartitionFilters on the
+        // triples scan (pred is the partition column) + broadcast rehydrate
+        "kg_onehop")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

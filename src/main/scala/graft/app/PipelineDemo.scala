@@ -26,7 +26,10 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = GraftConfig.default
+    // GRAFT_EMB_DIM overrides the embedding dimension (e.g. 1024 for the
+    // reference-parity run, settings.py:106); oracle and engine share cfg
+    val cfg = GraftConfig.default.copy(
+      embeddingDim = sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64))
     val spec = Synth.Spec(nConv = nConv)
     val dict = Synth.dictionary(spec)
     val turns = Synth.transcripts(spec, dict)

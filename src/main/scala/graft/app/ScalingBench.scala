@@ -49,7 +49,10 @@ object ScalingBench {
       })
     }
 
-    val cfg = GraftConfig.default
+    // GRAFT_EMB_DIM overrides the embedding dimension (1024 = reference
+    // parity, settings.py:106) to quantify the dim-scaling cost
+    val cfg = GraftConfig.default.copy(
+      embeddingDim = sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64))
     val spec = Synth.Spec(nConv = nConv)
     val dict = Synth.dictionary(spec)
 

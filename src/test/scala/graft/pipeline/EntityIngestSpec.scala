@@ -43,6 +43,16 @@ class EntityIngestSpec extends AnyFunSuite {
     assert(m("e3").attributes.isEmpty)
   }
 
+  test("attributes: MIXED array/scalar values keep every entry (reference keeps parsed dicts as-is)") {
+    val m = ingest(Seq(
+      ("e1", "A", "t", null, null, """{"a":["x","y"],"b":"z","n":3,"f":true}""", null, null),
+      ("e2", "B", "t", null, null, """{"nested":{"k":"v"}}""", null, null)))
+    assert(m("e1").attributes == Map(
+      "a" -> Seq("x", "y"), "b" -> Seq("z"), "n" -> Seq("3"), "f" -> Seq("true")))
+    // non-scalar non-array values survive as compact JSON text
+    assert(m("e2").attributes == Map("nested" -> Seq("""{"k":"v"}""")))
+  }
+
   test("nameless rows are dropped; timestamps parse ISO-8601") {
     val m = ingest(Seq(
       ("e1", null, "t", null, null, null, null, null),
