@@ -42,6 +42,7 @@ object SparkEntry {
   }
 
   private val kgCache = new ConcurrentHashMap[String, KgPipeline.Outputs]()
+  private val writtenTriples = new ConcurrentHashMap[String, String]()
 
   /** One pipeline run per (session, sfDir), stages persisted so each kg_*
     * query reads memoized results instead of recomputing the DAG. */
@@ -134,7 +135,10 @@ object SparkEntry {
     "kg_onehop" -> ((s, dir) => {
       import s.implicits._
       val path = s"/tmp/graft_triples_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      TripleEmitter.write(kg(s, dir).triples, path)
+      // write the pred-partitioned triples sink once per (session, sf)
+      writtenTriples.computeIfAbsent(path + "@" + s.hashCode(), _ => {
+        TripleEmitter.write(kg(s, dir).triples, path); path
+      })
       val ents = s.createDataset(Synth.dictionary(specFor(dir))).toDF()
         .select(col("id"), col("name").as("obj_name"))
       s.read.parquet(path).filter(col("pred") === "same_as")
@@ -272,6 +276,12 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
+    // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
+    // quadratic-free 100TB shape; the probe variant above broadcasts a small
+    // query side instead). Corpus = embeddings ∪ planted perturbed probes so
+    // true near-dup pairs exist; oracle twin is the exhaustive a<b join.
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(prepEmb(s, dir).union(plantedProbes(s, dir)), 0.99)),
 
     // ---- similarity search
     "ann_brute_topk" -> ((s, dir) => {
@@ -440,6 +450,17 @@ object SparkEntry {
           |FROM pn, n
           |WHERE vec_id <> probe_id
           |  AND list_sum([pv[i]*v[i] for i in generate_series(1, len(v))]) / (pnrm*nrm) >= 0.99""".stripMargin,
+      "dedup_embed_lsh" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |p AS (SELECT vec_id + 100000 AS vec_id,
+          |             list_concat([v[1] + 0.05], v[2:64]) AS v
+          |      FROM e WHERE vec_id % 10 = 0),
+          |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+          |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM u)
+          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |       list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) / (a.nrm*b.nrm) AS cosine
+          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |WHERE list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) / (a.nrm*b.nrm) >= 0.99""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),

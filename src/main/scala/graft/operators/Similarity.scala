@@ -128,6 +128,37 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"), col("cosine"))
   }
 
+  /** Corpus-SELF embedding near-dup pairs via random-hyperplane sign-LSH
+    * bucketing + exact-cosine verification — the 100 TB shape for "find all
+    * near-duplicate pairs inside the corpus", where the probe-broadcast
+    * variant below cannot apply (the probe side IS the corpus) and an
+    * all-pairs join is quadratic. Each vector gets `tables` bucket keys of
+    * `bits` sign bits (TextSim.lshKeys, the same bank the KG blocking
+    * channel uses); candidate pairs share a bucket in ANY table; the exact
+    * sequential-fold cosine then keeps pairs >= tau. Collision probability
+    * per table is (1 - acos(cos)/pi)^bits, so recall at tau=0.99 with the
+    * 6x16 default is 1 - ~2e-6 per pair; buckets stay small because only
+    * near-identical vectors agree on 16 sign bits. */
+  def lshNearDupPairs(corpus: DataFrame, tau: Double,
+                      tables: Int = 6, bits: Int = 16): DataFrame = {
+    val keys = udf((v: Seq[Double]) =>
+      graft.core.TextSim.lshKeys(v.map(_.toFloat).toArray, tables, bits))
+    // band ids only (8-byte shuffle rows, not vectors); vectors rejoin for
+    // the candidate pairs alone — at corpus scale the bucket join's shuffle
+    // bytes, not the cosine flops, are the cost
+    val banded = corpus.select(col("vec_id"), explode(keys(col("v"))).as("bucket"))
+    val cand = banded.toDF("vec_a", "bucket")
+      .join(banded.toDF("vec_b", "bucket"), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cosine", cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Embedding-cosine near-dup pairs between a (small, broadcast) probe set
     * and the corpus. */
   def cosineNearDup(corpus: DataFrame, probes: DataFrame, tau: Double): DataFrame =

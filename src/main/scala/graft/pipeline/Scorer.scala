@@ -122,11 +122,15 @@ object Scorer {
         col("s.final_score").as("final_score"))
   }
 
-  /** One scoring side, driver/broadcast-resident. */
+  /** One scoring side, driver/broadcast-resident. The TF vector is wrapped
+    * ONCE here — the sweep touches every (mention, entity) pair, so a
+    * per-pair TfVec wrapper would be hundreds of millions of allocations
+    * at corpus scale. etypeOpt likewise pre-lifted. */
   final case class EntSide(
       id: String, name: String, aliases: Seq[String], etype: String,
-      tfTokens: Array[Long], tfCounts: Array[Int], tfNorm: Double,
-      emb: Array[Float])
+      tf: TextSim.TfVec, emb: Array[Float]) {
+    val etypeOpt: Option[String] = Option(etype)
+  }
 
   /** Dictionary as a broadcastable prepped-side array, SORTED BY ID so every
     * sweep below is deterministic (dictionary-scale: MBs, per north_star
@@ -141,7 +145,7 @@ object Scorer {
           r.getString(1),
           Option(r.getSeq[String](2)).getOrElse(Nil),
           r.getString(3),
-          r.getSeq[Long](4).toArray, r.getSeq[Int](5).toArray, r.getDouble(6),
+          TextSim.TfVec(r.getSeq[Long](4).toArray, r.getSeq[Int](5).toArray, r.getDouble(6)),
           r.getSeq[Float](7).toArray)
       }.sortBy(_.id)
 
@@ -187,8 +191,7 @@ object Scorer {
     def consider(e: EntSide): Unit = {
       val s = Scoring.pairScorePrepped(
         surface, Nil, mType, tfM, embM,
-        e.name, e.aliases, Option(e.etype),
-        TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm), e.emb, cfg)
+        e.name, e.aliases, e.etypeOpt, e.tf, e.emb, cfg)
       if (best == null || s.final_score > best.final_score ||
           (s.final_score == best.final_score && e.id < bestId)) {
         best = s; bestId = e.id
@@ -204,8 +207,8 @@ object Scorer {
       dict.foreach { e =>
         if (!candSet.contains(e.id)) {
           val bge = TextSim.cosine(embM, e.emb)
-          val ce = TextSim.tfCosine(tfM, TextSim.TfVec(e.tfTokens, e.tfCounts, e.tfNorm))
-          val mult = Scoring.typeMultiplier(mType, Option(e.etype), cfg)
+          val ce = TextSim.tfCosine(tfM, e.tf)
+          val mult = Scoring.typeMultiplier(mType, e.etypeOpt, cfg)
           val bound =
             (cfg.bgeWeight * bge + cfg.crossEncoderWeight * ce + maxRest) * mult
           if (best == null || bound > best.final_score ||

@@ -131,6 +131,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("sign-LSH corpus-self near-dup equals the exhaustive all-pairs join at tau=0.99") {
+    val corpus = Similarity.prep(emb).cache()
+    // exhaustive a<b reference pairs
+    val a = corpus.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val exhaustive = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.99).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(corpus, 0.99).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exhaustive)) // verify step guarantees precision 1
+    assert(lsh == exhaustive, s"missed ${exhaustive.diff(lsh)}")
+  }
+
   test("language ID predicts the marker-dominant language with deterministic ties") {
     import spark.implicits._
     val d = Seq(
