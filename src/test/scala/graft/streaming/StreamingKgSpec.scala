@@ -56,6 +56,29 @@ class StreamingKgSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("replayed micro-batches do not duplicate decisions (idempotent per-batch sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream-replay").toString + "/out"
+    def runOnce(): Long = {
+      // fresh checkpoint each time => the SAME data replays as the same
+      // batch ids; the batch_id=<id> overwrite sink must absorb the replay
+      val ckpt = Files.createTempDirectory("stream-replay-ckpt").toString
+      val source = MemoryStream[Turn]
+      val writer = StreamingKg.decisionsStream(spark, source.toDS(), dict, cfg, out, ckpt)
+        .trigger(Trigger.AvailableNow())
+      val (b1, b2) = turns.splitAt(turns.size / 2)
+      source.addData(b1)
+      source.addData(b2)
+      writer.start().awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val first = runOnce()
+    val replayed = runOnce()
+    assert(first > 0 && replayed == first,
+      s"replay duplicated rows: first=$first replayed=$replayed")
+  }
+
   test("windowed turn-rate aggregates by event-time window and role") {
     import spark.implicits._
     val ds = spark.createDataset(turns)
