@@ -56,6 +56,41 @@ object Candidates {
 
   final case class Ranked(entityId: String, score: EntityScore, rank: Int)
 
+  /** Dictionary self-dedup edges: ALL entity pairs scoring >= the merge
+    * threshold — the canonicalization input. Exact over all i<j pairs via
+    * the same branch-and-bound the decision sweep uses (fuzz/lev <= 1, so
+    * pairs whose cheap-component bound cannot reach the threshold skip the
+    * edit-distance cross-products). Shared verbatim by the no-Spark oracle
+    * and the pipeline's broadcast-tier driver path, so engine and oracle
+    * canonicalize from identical edges by construction. Dictionary-scale
+    * only (O(|dict|^2) cheap flops): the blocked entity self-join
+    * (Scorer.entityDupEdges) is the beyond-broadcast path. */
+  def dupEdges(prepped: IndexedSeq[PreppedEntity], cfg: GraftConfig): Seq[(String, String)] = {
+    val maxRest = cfg.fuzzWeight + cfg.levenshteinWeight
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < prepped.length) {
+      val a = prepped(i)
+      var j = i + 1
+      while (j < prepped.length) {
+        val b = prepped(j)
+        val bge = TextSim.cosine(a.emb, b.emb)
+        val ce = TextSim.tfCosine(a.tf, b.tf)
+        val mult = Scoring.typeMultiplier(a.etype, b.etype, cfg)
+        val bound = (cfg.bgeWeight * bge + cfg.crossEncoderWeight * ce + maxRest) * mult
+        if (bound >= cfg.highThreshold) {
+          val s = Scoring.pairScorePrepped(
+            a.name, a.aliases, a.etype, a.tf, a.emb,
+            b.name, b.aliases, b.etype, b.tf, b.emb, cfg)
+          if (s.final_score >= cfg.highThreshold) out += ((a.id, b.id))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Top-k candidates for one query side. `excludeId` skips a self-match
     * (the API veneer's input entity may itself be in the dictionary). */
   def matchCandidates(

@@ -62,14 +62,9 @@ object Oracle {
     val candidatesTopK = perMention.flatMap(_._2)
 
     // dictionary self-dedup edges: entity pairs scoring >= HIGH threshold
-    val dupEdges = for {
-      (a, i) <- prepped.zipWithIndex
-      b <- prepped.drop(i + 1)
-      s = Scoring.pairScorePrepped(
-        a.name, a.aliases, a.etype, a.tf, a.emb,
-        b.name, b.aliases, b.etype, b.tf, b.emb, cfg)
-      if s.final_score >= cfg.highThreshold
-    } yield (a.id, b.id)
+    // (Candidates.dupEdges — the identical code the pipeline's broadcast
+    // tier runs, bound-pruned but exact over all pairs)
+    val dupEdges = Candidates.dupEdges(prepped, cfg)
 
     val canon = connectedComponents(
       dict.map(_.id) ++ decisions.flatMap(_.resolved_id), dupEdges)

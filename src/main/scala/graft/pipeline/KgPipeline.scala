@@ -34,9 +34,10 @@ object KgPipeline {
     val cp = new Checkpoints(spark, checkpointRoot, runId)
 
     val entities = EntityStore.prepare(spark, dict, cfg).cache()
-    // entity-side blocking index: dictionary-sized, reused by the candidate
-    // join AND dictionary self-dedup — compute once
-    val entityB = Blocking.entityBlocks(entities, cfg).cache()
+    // entity-side blocking index: only the blocked (beyond-broadcast) tier
+    // needs it — lazy, so the broadcast-sweep tier never pays its ~10
+    // tiny-data shuffle stages
+    lazy val entityB = Blocking.entityBlocks(entities, cfg).cache()
 
     val mentions = cp.stage("mentions") {
       MentionStage.detect(spark, turns, dict).toDF()
@@ -49,7 +50,16 @@ object KgPipeline {
     }.persist() // reused by components, triples, stats
 
     val components = cp.stage("components") {
-      val edges = Scorer.entityDupEdges(entityB, entities, cfg)
+      // dup edges: driver-side exact pairs for small dictionaries (shared
+      // verbatim with the oracle; O(|dict|^2) cheap bounds is driver-cheap
+      // to ~2k entities), blocked entity self-join beyond that — the cap is
+      // tighter than the sweep tier's because this path is single-threaded
+      val edges =
+        if (dict.size.toLong <= math.min(cfg.broadcastSweepMaxDict, 2000L)) {
+          import spark.implicits._
+          graft.core.Candidates.dupEdges(graft.core.Candidates.prep(dict, cfg), cfg)
+            .toDF("src", "dst")
+        } else Scorer.entityDupEdges(entityB, entities, cfg)
       val vertices = entities.select(col("id"))
         .union(decisions.filter(col("resolved_id").isNotNull).select(col("resolved_id").as("id")))
         .distinct()
