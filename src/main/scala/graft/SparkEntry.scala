@@ -311,6 +311,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextStats.contentFingerprint(tbl(s, dir, "documents"))),
     "text_winnow_fp" -> ((s, dir) => TextStats.winnowFingerprint(tbl(s, dir, "documents"))),
 
+    // ---- corpus preparation (pretraining-batch shaping)
+    "corpus_pack_blocks" -> ((s, dir) =>
+      graft.operators.Corpus.packBlocks(tbl(s, dir, "documents"), 256L)),
+    "corpus_split_counts" -> ((s, dir) =>
+      graft.operators.Corpus.splitCounts(tbl(s, dir, "documents"))),
+    "corpus_top_terms" -> ((s, dir) =>
+      graft.operators.Corpus.topTerms(tbl(s, dir, "documents"), 100)),
+
     // ---- multimodal plumbing (stubbed decode, real Spark shape)
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
@@ -502,6 +510,22 @@ object SparkEntry {
             |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
             |       $langCase AS predicted_lang
             |FROM h""".stripMargin),
+      "corpus_pack_blocks" ->
+        (s"""WITH t AS (SELECT lang, doc_id,
+            |  len(regexp_extract_all(lower(text), '${graft.operators.TextOps.bpePattern}'))::BIGINT AS n_tokens
+            |  FROM documents),
+            |c AS (SELECT lang, doc_id, n_tokens,
+            |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)::BIGINT AS cum FROM t)
+            |SELECT lang, doc_id, n_tokens,
+            |       floor((cum - n_tokens) / 256.0)::BIGINT AS block_id
+            |FROM c""".stripMargin),
+      "corpus_split_counts" ->
+        ("SELECT lang, CASE WHEN (doc_id * 48271) % 100 < 90 THEN 'train' ELSE 'val' END AS split, " +
+          "count(*) AS n FROM documents GROUP BY 1, 2"),
+      "corpus_top_terms" ->
+        ("SELECT term, count(*) AS n FROM (" +
+          "SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term " +
+          "FROM documents) GROUP BY term ORDER BY n DESC, term LIMIT 100"),
       "text_fingerprint" ->
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint FROM documents",
       // ---- golden-oracle twins (pure-Scala reference math, materialized by

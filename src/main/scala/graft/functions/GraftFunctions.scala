@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TextSim
+
+/** Native Catalyst expressions for the reference's similarity scalars —
+  * the two semantics Spark's built-in function library cannot express
+  * (X6 rapidfuzz token_sort_ratio and X7's levenshtein RATIO with its
+  * both-empty => 0 rule; /root/reference/services/disambiguation.py:313-379)
+  * — exposed as SQL functions `graft_token_sort_ratio(a,b)` and
+  * `graft_lev_ratio(a,b)`.
+  *
+  * Both generate code (defineCodeGen emits one static call per row inside
+  * the surrounding WholeStageCodegen span — no Row boxing, no ScalaUDF
+  * serialization barrier) and evaluate through the same TextSim core the
+  * fused pipeline scorer and the no-Spark oracle run, so the SQL surface
+  * can never drift from the engine semantics.
+  *
+  * Registration: `GraftFunctions.register(spark)` on an existing session,
+  * or `--conf spark.sql.extensions=graft.functions.GraftExtensions` at
+  * submit time (the standard injection path on a cluster).
+  */
+object GraftFunctions {
+
+  // static entry points referenced from generated code
+  def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
+    TextSim.tokenSortRatio(a.toString, b.toString)
+
+  def levRatio(a: UTF8String, b: UTF8String): Double =
+    TextSim.levRatio(a.toString, b.toString)
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_token_sort_ratio"),
+      new ExpressionInfo(classOf[TokenSortRatioExpr].getName, "graft_token_sort_ratio"),
+      (args: Seq[Expression]) => TokenSortRatioExpr(asString(args(0)), asString(args(1)))),
+    (FunctionIdentifier("graft_lev_ratio"),
+      new ExpressionInfo(classOf[LevRatioExpr].getName, "graft_lev_ratio"),
+      (args: Seq[Expression]) => LevRatioExpr(asString(args(0)), asString(args(1)))))
+
+  // implicit input cast at build time (the ImplicitCastInputTypes trait's
+  // signature is private[sql], so the coercion happens in the builder)
+  private def asString(e: Expression): Expression =
+    if (e.dataType == StringType) e else Cast(e, StringType)
+
+  /** Register on a live session (tests / REPL). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+/** spark.sql.extensions entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}
+
+/** Shared shape of the two string-similarity expressions. */
+abstract class GraftBinaryStringDouble extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+
+  /** Fully-qualified static method the generated code calls. */
+  protected def staticCall: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$staticCall($a, $b)")
+}
+
+/** X6 — rapidfuzz fuzz.token_sort_ratio / 100. */
+case class TokenSortRatioExpr(left: Expression, right: Expression)
+    extends GraftBinaryStringDouble {
+  override protected def staticCall = "graft.functions.GraftFunctions.tokenSortRatio"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.tokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenSortRatioExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** X7 — 1 - lev(a,b)/max(|a|,|b|), 0.0 when both empty. */
+case class LevRatioExpr(left: Expression, right: Expression)
+    extends GraftBinaryStringDouble {
+  override protected def staticCall = "graft.functions.GraftFunctions.levRatio"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.levRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevRatioExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a pretraining-data pipeline needs after
+  * dedup/quality filtering: sequence packing, deterministic dataset
+  * splitting, and vocabulary statistics. All pure Catalyst (codegen'd, no
+  * UDFs) with line-for-line ANSI-SQL twins for the DuckDB gate.
+  */
+object Corpus {
+
+  /** Greedy sequence packing by running token count: documents are laid
+    * out in (strata, doc_id) order and cut into fixed-size token blocks —
+    * block_id = floor(exclusive-cumsum / blockSize), the streaming-concat
+    * packing used for pretraining batches. The cumulative sum runs per
+    * stratum (e.g. language), so strata pack in parallel and the global
+    * sort a corpus-wide cumsum would need never happens; at 100 TB the
+    * stratum key would also carry a shard component (e.g. hash(doc_id)
+    * bucket) to bound any one window partition. floor() on both engines —
+    * a bare BIGINT cast would truncate in Spark but ROUND in DuckDB. */
+  def packBlocks(docs: DataFrame, blockSize: Long,
+                 strataCol: String = "lang"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy("doc_id")
+    docs.select(col(strataCol), col("doc_id"),
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("block_id",
+        floor((col("cum") - col("n_tokens")) / lit(blockSize.toDouble)))
+      .select(strataCol, "doc_id", "n_tokens", "block_id")
+  }
+
+  /** Deterministic train/val split by arithmetic hash of the id: the same
+    * doc lands in the same split on any engine, any run, any partitioning.
+    * The multiplier is small enough that id*48271 never overflows int64
+    * for realistic ids (overflow WRAPS in Spark but ERRORS in DuckDB, so
+    * the twin would diverge). Per-stratum counts verify the ratio held. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90,
+                strataCol: String = "lang"): DataFrame =
+    docs.select(col(strataCol), col("doc_id"),
+        when((col("doc_id") * lit(48271L)) % 100 < trainPct, lit("train"))
+          .otherwise(lit("val")).as("split"))
+
+  def splitCounts(docs: DataFrame, trainPct: Int = 90,
+                  strataCol: String = "lang"): DataFrame =
+    hashSplit(docs, trainPct, strataCol)
+      .groupBy(strataCol, "split").agg(count(lit(1)).as("n"))
+
+  /** Corpus vocabulary head: top-k whitespace terms of the lowercased text
+    * with deterministic ties (count desc, term asc). Map-side partial agg
+    * + a 16-byte-row shuffle; the limit is a TakeOrdered. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(TextOps.words(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+}
