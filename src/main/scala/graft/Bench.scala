@@ -85,20 +85,30 @@ object Bench {
 
     // scaling pairs in fresh contexts (one JVM, sequential, exclusive);
     // 1->4 is the host's linear region (the pair that can evidence >= 0.8),
-    // 8->32 is reported against the host's own 0.47 ALU ceiling
+    // 8->32 is reported against the host's own 0.47 ALU ceiling. Fail-soft:
+    // a broken scaling run must not cost the whole bench line.
     val scalingCores = Seq(1, 4, 8, 32)
-    val scaling = scalingCores.map { c =>
-      val s = newSession(c.toString)
-      val turns = graft.pipeline.TranscriptSource.read(s, scalePath)
-      val dict = graft.fixtures.Synth.dictionary(scaleSpec)
-      val t0 = System.nanoTime()
-      val n = graft.pipeline.KgPipeline
-        .run(s, turns, dict, graft.core.GraftConfig.default).triples.count()
-      val w = (System.nanoTime() - t0) / 1e9
-      s.stop()
-      c -> (n / w)
-    }.toMap
-    def eff(a: Int, b: Int): Double = scaling(b) / ((b / a) * scaling(a))
+    val scaling = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    scalingCores.foreach { c =>
+      try {
+        val s = newSession(c.toString)
+        try {
+          val turns = graft.pipeline.TranscriptSource.read(s, scalePath)
+          val dict = graft.fixtures.Synth.dictionary(scaleSpec)
+          val t0 = System.nanoTime()
+          val n = graft.pipeline.KgPipeline
+            .run(s, turns, dict, graft.core.GraftConfig.default).triples.count()
+          scaling(c) = n / ((System.nanoTime() - t0) / 1e9)
+        } finally s.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling local[$c] FAILED: ${e.getMessage}")
+        errors(s"scaling_local_$c") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+    def eff(a: Int, b: Int): Double =
+      if (scaling.contains(a) && scaling.contains(b)) scaling(b) / ((b / a) * scaling(a))
+      else -1.0
 
     def jq(s: String): String =
       "\"" + s.flatMap {
@@ -108,7 +118,7 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val scalingJson = scalingCores.map(c => f""""local_$c":${scaling(c)}%.1f""").mkString("{", ",", "}")
+    val scalingJson = scaling.map { case (c, t) => f""""local_$c":$t%.1f""" }.mkString("{", ",", "}")
     val total = kgCold + results.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}""")
