@@ -50,9 +50,12 @@ object ScalingBench {
     }
 
     // GRAFT_EMB_DIM overrides the embedding dimension (1024 = reference
-    // parity, settings.py:106) to quantify the dim-scaling cost
+    // parity, settings.py:106) to quantify the dim-scaling cost;
+    // GRAFT_SWEEP_MAX=0 forces the blocked-join tier (the beyond-broadcast
+    // mega-dict scale path) so its throughput is benchable at volume
     val cfg = GraftConfig.default.copy(
-      embeddingDim = sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64))
+      embeddingDim = sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64),
+      broadcastSweepMaxDict = sys.env.get("GRAFT_SWEEP_MAX").map(_.toLong).getOrElse(10000L))
     val spec = Synth.Spec(nConv = nConv)
     val dict = Synth.dictionary(spec)
 
