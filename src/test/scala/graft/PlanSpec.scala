@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, "expected exactly one exchange")
   }
 
+  test("corpus_pack_blocks: per-stratum window, no global sort — one hash exchange") {
+    val p = plan("corpus_pack_blocks")
+    assert(p.contains("Window"), p.take(2000))
+    // a corpus-wide cumsum would need a single-partition global sort
+    // (Exchange SinglePartition / rangepartitioning); per-stratum packing
+    // hash-partitions by lang instead
+    assert(!p.contains("SinglePartition"), "global single-partition exchange found")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, "expected exactly one exchange")
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+  }
+
   test("j5_multijoin_revenue: small dims broadcast; fact join keys pushed as IsNotNull") {
     val p = plan("j5_multijoin_revenue")
     assert(p.contains("BroadcastHashJoin"))
