@@ -17,14 +17,6 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(text, " ", -1), w => w =!= lit(""))
 
-  /** Distinct word n-gram shingles, space-joined. Empty array when the
-    * document has fewer than n words. */
-  def shingles(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-
   /** BPE-ish regex tokenization: letter runs | digit runs | single
     * punctuation, over the lowercased text. */
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"

@@ -327,39 +327,6 @@ object Scorer {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Per-mention decision. Left-joins ALL mentions so candidate-less
-    * mentions fall through to create-with-confidence-1.0 (reference
-    * disambiguation.py:126-135). */
-  def decide(spark: SparkSession, mentions: DataFrame, scored: DataFrame, cfg: GraftConfig): DataFrame = {
-    val createdId = udf((surface: String) => Scoring.createdId(surface))
-    val best = topK(scored, 1).drop("rank", "surface")
-    val joined = mentions
-      .select("mention_id", "conv_id", "turn_idx", "offset", "surface")
-      .join(best, Seq("mention_id"), "left_outer")
-    val decided = joined.withColumn("decision",
-      when(col("entity_id").isNull, lit(graft.model.Decisions.Create))
-        .when(col("final_score") >= cfg.highThreshold, lit(graft.model.Decisions.Merge))
-        .when(col("final_score") <= cfg.lowThreshold, lit(graft.model.Decisions.Create))
-        .otherwise(
-          if (cfg.forceDecision)
-            when(col("final_score") > cfg.midThreshold, lit(graft.model.Decisions.Merge))
-              .otherwise(lit(graft.model.Decisions.Create))
-          else lit(graft.model.Decisions.Ambiguous)))
-    decided
-      .withColumn("match_id",
-        when(col("decision") === graft.model.Decisions.Merge, col("entity_id")))
-      .withColumn("resolved_id",
-        when(col("decision") === graft.model.Decisions.Merge, col("entity_id"))
-          .when(col("decision") === graft.model.Decisions.Create, createdId(col("surface"))))
-      .withColumn("bge_score", coalesce(col("bge_score"), lit(0.0)))
-      .withColumn("cross_encoder_score", coalesce(col("cross_encoder_score"), lit(0.0)))
-      .withColumn("fuzz_score", coalesce(col("fuzz_score"), lit(0.0)))
-      .withColumn("levenshtein_score", coalesce(col("levenshtein_score"), lit(0.0)))
-      .withColumn("final_score",
-        coalesce(col("final_score"), lit(1.0))) // no-candidate create: confidence 1.0
-      .drop("entity_id")
-  }
-
   /** Dictionary self-dedup edges: blocked entity pairs scoring >= HIGH. */
   def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig): DataFrame = {
     val a = entityB.select(col("key"), col("id").as("src"))

@@ -41,6 +41,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(runPipeline(2) == runPipeline(13))
   }
 
+  test("row-per-pair blocked scoring (beyond-broadcast top-k path) agrees with the broadcast scorer") {
+    import org.apache.spark.sql.functions._
+    val out = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg)
+    val entities = EntityStore.prepare(spark, dict, cfg).cache()
+    val entityB = Blocking.entityBlocks(entities, cfg)
+    val mentionsPrep = Scorer.prepareMentions(out.mentions, cfg)
+      .select(Scorer.mentionPrepCols.map(col): _*).cache()
+    val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg)
+    val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, Set.empty).cache()
+    // row-per-pair join + window top-1
+    val top1 = Scorer.topK(Scorer.scorePairs(pairs, mentionsPrep, entities, cfg), 1)
+      .select("mention_id", "entity_id", "final_score").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // fused broadcast scorer on the same seeds (no sweep)
+    val best = Scorer.decideBest(spark, out.mentions, mentionsPrep, Some(pairs), entities,
+        cfg, sweep = false)
+      .filter(col("match_id").isNotNull || col("decision") =!= "create")
+      .select("mention_id", "final_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(top1.nonEmpty)
+    best.foreach { case (mid, f) =>
+      assert(top1.contains(mid) && top1(mid)._2 == f, s"$mid: $f vs ${top1.get(mid)}")
+    }
+  }
+
   test("forced blocked-join tier (mega-dict scale path) holds P/R >= 0.95 vs the oracle") {
     import spark.implicits._
     // broadcastSweepMaxDict=0 forces the n-gram/type/LSH candidate join +
