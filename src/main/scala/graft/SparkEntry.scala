@@ -117,7 +117,8 @@ object SparkEntry {
     "kg_candidates_topk" -> ((s, dir) => {
       // match-candidates surface (reference POST /match-candidates) with the
       // reference's exact retrieval merge: vector over-fetch + F2 type-branch
-      // cosine floor + F4 first-wins name dedup + truncate + stable rank
+      // cosine floor + F4 first-wins name dedup (merge path only) + truncate,
+      // rank assigned in merge order — no final-score re-sort
       // (core.Candidates, shared with the oracle). Broadcast-dictionary map
       // over mentions — no pair shuffle, no window.
       val out = kg(s, dir)

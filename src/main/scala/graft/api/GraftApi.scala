@@ -64,9 +64,10 @@ object GraftApi {
 
   /** POST /match-candidates analog: the reference's retrieval merge
     * (vector over-fetch + type-branch cosine floor F2 + first-wins name
-    * dedup F4 + truncate, disambiguation.py:168-224) then comprehensive
-    * scoring with rank — via the shared core.Candidates path the Spark
-    * kg_candidates_topk query and the oracle also run. */
+    * dedup F4 on the merge path only + truncate, disambiguation.py:168-224)
+    * then comprehensive scoring with rank assigned in merge order (:238) —
+    * via the shared core.Candidates path the Spark kg_candidates_topk query
+    * and the oracle also run. */
   def matchCandidates(input: EntityRecord, dict: Dictionary,
       cfg: GraftConfig = GraftConfig.default, topK: Int = 10): Seq[Candidate] = {
     val x1 = Scoring.scoringText(input.name, input.aliases, input.definition)

@@ -15,15 +15,19 @@ import graft.model.{EntityRecord, EntityScore}
   *  - vector branch: exact retrieval over the whole dictionary, over-fetched
   *    to 2*top_k (disambiguation.py:172; FAISS IndexFlatIP is exact search,
   *    vectorization.py:516-519 — the engine standardizes on cosine, SURVEY X4);
-  *  - type branch (F1): if the query has a type, every same-type entity is
-  *    cosine-scored (:183-191) and kept only above the similarity floor
+  *  - type branch (F1): taken only when the query HAS a type AND the
+  *    dictionary contains at least one entity of that type (the reference
+  *    gates the merge on `if type_entities:`, :181); every same-type entity
+  *    is cosine-scored (:183-191) and kept only above the similarity floor
   *    cosine > 0.1 (F2, :193-194), sorted by cosine desc (:197);
   *  - merge (F4): type-branch candidates FIRST, then vector hits, dedup
   *    first-wins keyed on entity NAME — not id (:199-213) — truncated to
-  *    top_k (:215);
-  *  - the survivors get the full 4-way comprehensive score and are sorted by
-  *    final score desc with a STABLE sort (Python list.sort is stable,
-  *    :146/:237), rank assigned 1-based (:238).
+  *    top_k (:215). When the type branch is NOT taken the reference returns
+  *    the raw vector hits truncated to top_k with NO name dedup (:217-218);
+  *  - the survivors get the full 4-way comprehensive score, and rank is
+  *    assigned 1-based IN MERGE ORDER (`enumerate(similar_entities, 1)`,
+  *    :238) — match_candidates never re-sorts by final score (the
+  *    final-desc sort at :146 belongs to auto_decide, a different endpoint).
   *
   * Scale note: per-query work is O(|dict|) against a broadcast dictionary —
   * the same shape as the reference's per-request exact scan, and the right
@@ -107,27 +111,32 @@ object Candidates {
       case None    => dict
     }
     val withCos = pool.map(e => (e, TextSim.cosine(qEmb, e.emb)))
-    // vector branch: exact top 2*top_k by embedding similarity
+    // vector branch: exact top 2*top_k by embedding similarity (stable sort —
+    // ties keep the id-sorted dictionary order from `prep`)
     val vector = withCos.sortBy(-_._2).take(cfg.topK * 2)
-    // type branch: same-type entities above the cosine floor (F1 + F2)
-    val typeBranch = qType match {
-      case Some(t) =>
-        withCos.filter { case (e, c) => e.etype.contains(t) && c > cfg.cosineFloor }
-          .sortBy(-_._2)
-      case None => IndexedSeq.empty
+    // the merge path runs only when the query has a type AND at least one
+    // same-type entity exists (reference `if type_entities:` gate, :181)
+    val typeEntities = qType match {
+      case Some(t) => withCos.filter { case (e, _) => e.etype.contains(t) }
+      case None    => IndexedSeq.empty
     }
-    // F4: first-wins dedup on entity NAME, type branch first, truncate
-    val seen = scala.collection.mutable.HashSet[String]()
-    val merged = (typeBranch ++ vector)
-      .filter { case (e, _) => seen.add(e.name) }
-      .take(cfg.topK)
-    // comprehensive scoring; stable sort preserves merge order on ties
-    merged.map { case (e, _) =>
-      e.id -> Scoring.pairScorePrepped(
+    val merged =
+      if (typeEntities.nonEmpty) {
+        // type branch: same-type entities above the cosine floor (F1 + F2)
+        val typeBranch = typeEntities.filter(_._2 > cfg.cosineFloor).sortBy(-_._2)
+        // F4: first-wins dedup on entity NAME, type branch first, truncate
+        val seen = scala.collection.mutable.HashSet[String]()
+        (typeBranch ++ vector).filter { case (e, _) => seen.add(e.name) }.take(cfg.topK)
+      } else {
+        // no type branch: raw vector hits, truncated, NO name dedup (:217-218)
+        vector.take(cfg.topK)
+      }
+    // comprehensive scoring; rank = 1-based merge order (no re-sort — the
+    // reference's enumerate(similar_entities, 1), :238)
+    merged.zipWithIndex.map { case ((e, _), i) =>
+      Ranked(e.id, Scoring.pairScorePrepped(
         name, aliases, qType, qTf, qEmb,
-        e.name, e.aliases, e.etype, e.tf, e.emb, cfg)
-    }.sortBy { case (_, s) => -s.final_score }
-      .zipWithIndex
-      .map { case ((id, s), i) => Ranked(id, s, i + 1) }
+        e.name, e.aliases, e.etype, e.tf, e.emb, cfg), i + 1)
+    }
   }
 }

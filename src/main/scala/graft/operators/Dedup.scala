@@ -126,7 +126,7 @@ object Dedup {
     sig
   }
 
-  private def foldLanes(sig: Array[Long], h1: Long, h2: Long): Unit = {
+  private[operators] def foldLanes(sig: Array[Long], h1: Long, h2: Long): Unit = {
     var h = h1
     var i = 0
     while (i < sig.length) {
@@ -136,25 +136,52 @@ object Dedup {
     }
   }
 
+  /** Typed aggregator folding pre-hashed (h1, h2) shingle lanes directly
+    * into the minhash signature. Per-lane min is commutative/associative, so
+    * the result is bit-identical at any partitioning — and Spark runs it
+    * with MAP-SIDE PARTIAL aggregation: each map partition ships one
+    * partially-folded H-lane signature per doc across the shuffle instead of
+    * a collect_list of every shingle hash pair (the round-2 fixed cost). */
+  final class MinhashSigAgg(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(sig: Array[Long], in: (Long, Long)): Array[Long] = {
+      foldLanes(sig, in._1, in._2); sig
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(sig: Array[Long]): Seq[Long] = sig.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** LSH candidate pairs: band the signatures, bucket-join, emit distinct
     * (doc_a < doc_b) pairs. Buckets are tiny (near-dup clusters), so the
-    * per-bucket pair expansion is safe; a groupBy on (band, bucket-hash) is
-    * the only shuffle. Degenerate buckets above `maxBucket` members (e.g.
-    * thousands of boilerplate docs sharing a band) are SKIPPED rather than
-    * expanded quadratically in one task — identical docs are already covered
-    * by exact dedup, and at the default 4096 the cap is unreachable on
-    * non-pathological corpora. */
+    * per-bucket pair expansion is safe; the signature fold is ONE
+    * aggregation (MinhashSigAgg, map-side combined) and the groupBy on
+    * (band, bucket-hash) is the only other shuffle. Degenerate buckets above
+    * `maxBucket` members (e.g. thousands of boilerplate docs sharing a band)
+    * are SKIPPED rather than expanded quadratically in one task — identical
+    * docs are already covered by exact dedup, and at the default 4096 the
+    * cap is unreachable on non-pathological corpora. The skip is NOT silent:
+    * every skipped bucket increments `skipped` (minhashLsh registers a named
+    * accumulator visible in the Spark UI / metrics). */
   def minhashCandidates(sets: DataFrame, numHashes: Int, bands: Int,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 4096,
+                        skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // shingles are murmur-hashed to their two (h1, h2) lanes BEFORE the
-    // per-doc groupBy, so the signature shuffle moves 16 bytes per shingle
-    // instead of the ~n-word shingle string — at corpus scale the shuffle
-    // bytes ARE the cost of this stage
+    // per-doc aggregation, so the signature shuffle moves (after the
+    // map-side partial fold) one H-lane signature per doc per map partition
+    // instead of 16 bytes per shingle — at corpus scale the shuffle bytes
+    // ARE the cost of this stage
     val hashPair = udf((s: String) => shingleHashes(s))
-    val sigFromHashes = udf((hs: Seq[Row]) =>
-      minhashSigFromHashes(hs.map(r => (r.getLong(0), r.getLong(1))), numHashes))
+    val sigAgg = udaf(new MinhashSigAgg(numHashes))
     val bandHash = udf((sig: Seq[Long]) =>
       Array.tabulate(bands) { b =>
         val h = sig.slice(b * rows, (b + 1) * rows)
@@ -163,15 +190,18 @@ object Dedup {
       })
     val banded = sets
       .select(col("doc_id"), hashPair(col("shingle")).as("hp"))
-      .groupBy("doc_id").agg(collect_list("hp").as("hps"))
-      .withColumn("band", explode(bandHash(sigFromHashes(col("hps")))))
+      .groupBy("doc_id").agg(sigAgg(col("hp._1"), col("hp._2")).as("sig"))
+      .withColumn("band", explode(bandHash(col("sig"))))
       .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
     val pairsInBucket = udf((ids: Seq[Long]) => {
       val s = ids.distinct.sorted
       for { i <- s.indices; j <- (i + 1) until s.size } yield (s(i), s(j))
     })
+    val keepBucket = udf((n: Int) => {
+      if (n > maxBucket) { skipped.foreach(_.add(1L)); false } else n > 1
+    })
     banded.groupBy("band_idx", "bucket").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .filter(keepBucket(size(col("ids"))))
       .select(explode(pairsInBucket(col("ids"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
@@ -207,9 +237,16 @@ object Dedup {
     * exhaustive join wherever band recall is 1 (see class doc). The
     * candidate frame is persisted — the verify step reads it three times
     * (doc-id prune twice, intersection join once), and recomputing it
-    * re-runs the whole signature/banding chain each time. */
-  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32): DataFrame =
-    jaccardForPairs(sets, minhashCandidates(sets, numHashes, bands).persist(), tau)
+    * re-runs the whole signature/banding chain each time. Skipped degenerate
+    * buckets are counted in the named accumulator
+    * "graft.minhash.skipped_buckets" (no silent caps). */
+  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32,
+                 maxBucket: Int = 4096): DataFrame = {
+    val acc = sets.sparkSession.sparkContext
+      .longAccumulator("graft.minhash.skipped_buckets")
+    jaccardForPairs(
+      sets, minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist(), tau)
+  }
 
   /** 64-bit SimHash over whitespace tokens (counted, not distinct). */
   def simhash64(tokens: Seq[String]): Long = {

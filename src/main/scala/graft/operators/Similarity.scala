@@ -135,12 +135,20 @@ object Similarity {
     * all-pairs join is quadratic. Each vector gets `tables` bucket keys of
     * `bits` sign bits (TextSim.lshKeys, the same bank the KG blocking
     * channel uses); candidate pairs share a bucket in ANY table; the exact
-    * sequential-fold cosine then keeps pairs >= tau. Collision probability
-    * per table is (1 - acos(cos)/pi)^bits, so recall at tau=0.99 with the
-    * 6x16 default is 1 - ~2e-6 per pair; buckets stay small because only
+    * sequential-fold cosine then keeps pairs >= tau.
+    *
+    * Recall math (per-table collision p = (1 - acos(cos)/pi)^bits):
+    * at cos = 0.99, p = 0.955^16 ~= 0.479, so the 12-table miss probability
+    * is (1-0.479)^12 ~= 4e-4 per pair — pairs AT the tau boundary can
+    * occasionally be missed and the operator is honestly approximate there.
+    * The exact-equality gates (DuckDB twin, OperatorsSpec) are sound because
+    * their planted pairs sit at cos ~= 0.999, where p ~= 0.986^16 ~= 0.795
+    * and the miss probability is (1-0.795)^12 ~= 6e-9 per pair. Doubling the
+    * tables (6 -> 12) doubles a tiny bucket-join cost, not a quadratic one,
+    * because buckets stay small: only
     * near-identical vectors agree on 16 sign bits. */
   def lshNearDupPairs(corpus: DataFrame, tau: Double,
-                      tables: Int = 6, bits: Int = 16): DataFrame = {
+                      tables: Int = 12, bits: Int = 16): DataFrame = {
     val keys = udf((v: Seq[Double]) =>
       graft.core.TextSim.lshKeys(v.map(_.toFloat).toArray, tables, bits))
     // band ids only (8-byte shuffle rows, not vectors); vectors rejoin for

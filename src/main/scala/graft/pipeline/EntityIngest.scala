@@ -62,7 +62,12 @@ object EntityIngest {
             }.toMap
           case _ => Map.empty[String, Seq[String]]
         }
-      } catch { case _: Throwable => Map.empty[String, Seq[String]] }
+      } catch {
+        // NonFatal only: a parse failure means empty attributes, but fatal
+        // JVM errors (OOM, interrupts) must surface as executor failure,
+        // never masquerade as silently-empty data
+        case scala.util.control.NonFatal(_) => Map.empty[String, Seq[String]]
+      }
     }
     parse(col("attributes"))
   }

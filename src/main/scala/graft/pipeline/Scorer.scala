@@ -295,8 +295,9 @@ object Scorer {
 
   /** Per-mention top-k candidates via the reference retrieval semantics
     * (core.Candidates.matchCandidates: vector over-fetch + F2 type-branch
-    * cosine floor + F4 first-wins name dedup + truncate + stable final-desc
-    * rank) against the broadcast prepped dictionary. One narrow map over
+    * cosine floor + F4 first-wins name dedup on the merge path + truncate +
+    * 1-based merge-order rank) against the broadcast prepped dictionary.
+    * One narrow map over
     * mentions — no pair shuffle, no window — replacing the row-per-pair
     * scorePairs+topK path that copied the fat mention struct once per pair. */
   def topKBroadcast(

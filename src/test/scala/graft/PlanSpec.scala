@@ -45,7 +45,6 @@ class PlanSpec extends AnyFunSuite {
     // partial (map-side) combine runs before the shuffle: only pre-agged
     // rows cross the exchange
     assert(p.contains("partial_sum"), p.take(2000))
-    assert(p.linesIterator.count(_.startsWith("(") && p.contains("Exchange")) >= 1)
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, "expected exactly one exchange")
   }
 

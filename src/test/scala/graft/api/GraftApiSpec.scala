@@ -37,15 +37,13 @@ class GraftApiSpec extends AnyFunSuite {
     assert(checked > 50)
   }
 
-  test("matchCandidates: ranked, monotone, k-bounded, self excluded") {
+  test("matchCandidates: ranked in merge order, k-bounded, self excluded") {
     val e = dict.head
     val cands = GraftApi.matchCandidates(e, apiDict, cfg, topK = 5)
     assert(cands.size <= 5 && cands.nonEmpty)
+    // rank is 1-based retrieval-merge order (reference enumerate,
+    // disambiguation.py:238) — final scores need NOT be monotone
     assert(cands.map(_.rank) == (1 to cands.size))
-    assert(cands.sliding(2).forall {
-      case Seq(a, b) => a.score.final_score >= b.score.final_score
-      case _ => true
-    })
     assert(!cands.exists(_.entity.id == e.id))
     assert(cands.head.similarityDetails.contains("final="))
   }

@@ -6,7 +6,10 @@ import graft.model.EntityRecord
 /** Pins the reference's _smart_search_similar_entities merge semantics
   * (disambiguation.py:168-224) on hand-built dictionaries:
   * F2 cosine floor on the type branch, F4 first-wins NAME dedup with
-  * type-branch priority, over-fetch truncation, stable final-desc rank. */
+  * type-branch priority (merge path only — the no-type path returns raw
+  * vector hits with NO dedup, :217-218), over-fetch truncation, and rank
+  * assigned 1-based in MERGE order (enumerate, :238 — match_candidates
+  * never re-sorts by final score). */
 class CandidatesSpec extends AnyFunSuite {
   val cfg = GraftConfig.default
 
@@ -34,12 +37,23 @@ class CandidatesSpec extends AnyFunSuite {
       s"expected the type-branch owner only, got $got")
   }
 
-  test("F4 without a query type: vector order decides, still one per name") {
+  test("no query type: raw vector hits, NO name dedup (reference :217-218)") {
     val dict = Seq(
       ent("x1", "Gamma", Some("drug")),
       ent("x2", "Gamma", Some("disease")))
     val got = query("Gamma", None, dict)
-    assert(got.size == 1)
+    assert(got.size == 2, s"the no-type path must not dedup names: $got")
+  }
+
+  test("query type with zero same-type entities: merge path skipped, no dedup") {
+    // reference gates the merge on `if type_entities:` (:181) — a typed query
+    // against a dictionary with no entity of that type falls through to the
+    // raw vector return, name dedup and all
+    val dict = Seq(
+      ent("y1", "Theta", Some("drug")),
+      ent("y2", "Theta", Some("gene")))
+    val got = query("Theta", Some("organ"), dict)
+    assert(got.size == 2, s"expected both same-name vector hits, got $got")
   }
 
   test("F2: type-branch candidates at cosine <= floor are dropped from the type branch") {
@@ -53,15 +67,22 @@ class CandidatesSpec extends AnyFunSuite {
     assert(got.map(_.entityId) == Seq("v1"))
   }
 
-  test("over-fetch truncation: at most top_k candidates, ranks 1..n, final desc") {
+  test("over-fetch truncation: top_k candidates, rank = 1-based MERGE order") {
     val dict = (1 to 30).map(i => ent(f"e$i%02d", s"Epsilon $i", Some("gene")))
     val got = query("Epsilon", Some("gene"), dict, k = 7)
     assert(got.size == 7)
     assert(got.map(_.rank) == (1 to 7))
-    assert(got.sliding(2).forall {
-      case Seq(a, b) => a.score.final_score >= b.score.final_score
-      case _         => true
-    })
+    // rank follows the type-branch cosine-desc order, NOT final-score order:
+    // recompute the expected merge order independently
+    val c = cfg.copy(topK = 7)
+    val prepped = Candidates.prep(dict, c)
+    val qEmb = TextSim.embed(Scoring.embeddingText("Epsilon", Nil, None, Map.empty), c.embeddingDim)
+    val withCos = prepped.map(e => (e.id, TextSim.cosine(qEmb, e.emb)))
+    val typeBranch = withCos.filter(_._2 > c.cosineFloor).sortBy(-_._2)
+    val vector = withCos.sortBy(-_._2).take(c.topK * 2)
+    val expected = (typeBranch ++ vector).map(_._1).distinct.take(7)
+    assert(got.map(_.entityId) == expected,
+      s"rank must be retrieval-merge (cosine-desc) order, not final-desc")
   }
 
   test("deterministic: identical inputs give identical ranked lists") {
