@@ -55,16 +55,16 @@ object SparkEntry {
       KgPipeline.Outputs(
         out.mentions.persist(), out.decisions.persist(),
         out.components.persist(), out.triples.persist(),
-        out.decisionStats.persist())
+        out.decisionStats.persist(), out.cached)
     })
 
-  /** Drop one sfDir's memoized pipeline run and free its cached stages
-    * (Bench uses this to time a warm second run honestly). */
+  /** Drop one sfDir's memoized pipeline run and free EVERY frame it cached —
+    * the five outputs plus the pipeline's internal stage caches
+    * (entities/entityB/mentionsPrep/mentionB via Outputs.release). Bench
+    * uses this to time a warm second run honestly; long-lived sessions use
+    * it to keep executor storage flat across runs. */
   private[graft] def clearKg(spark: SparkSession, sfDir: String): Unit =
-    Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach { o =>
-      Seq(o.mentions, o.decisions, o.components, o.triples, o.decisionStats)
-        .foreach(_.unpersist(false))
-    }
+    Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach(_.release())
 
   /** Flagship: end-to-end KG triples on a small fixed corpus. */
   def entry(spark: SparkSession): DataFrame =

@@ -51,7 +51,7 @@ object StageProfile {
     val pairs = t("candidatePairs")(Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot).persist())
     t("pairs.count")(pairs.count())
     val decisions = t("decideBest")(
-      Scorer.decideBest(spark, mentions, mentionsPrep, Some(pairs), entities, cfg).persist())
+      Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg).persist())
     t("decisions.count")(decisions.count())
     val components = t("components")({
       val edges = Scorer.entityDupEdges(entityB, entities, cfg)

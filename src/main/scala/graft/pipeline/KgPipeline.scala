@@ -21,7 +21,16 @@ object KgPipeline {
       decisions: DataFrame,
       components: DataFrame,
       triples: DataFrame,
-      decisionStats: DataFrame)
+      decisionStats: DataFrame,
+      cached: Seq[DataFrame] = Nil) {
+    /** Unpersist every frame this run cached — outputs AND the internal
+      * stage caches (entities/entityB/mentionsPrep/mentionB). Long-lived
+      * sessions running many pipelines must call this (SparkEntry.clearKg
+      * does) or cached frames accumulate across runs. */
+    def release(): Unit =
+      (Seq(mentions, decisions, components, triples, decisionStats) ++ cached)
+        .foreach(_.unpersist(false))
+  }
 
   def run(
       spark: SparkSession,
@@ -32,21 +41,32 @@ object KgPipeline {
       runId: String = "run_0"): Outputs = {
 
     val cp = new Checkpoints(spark, checkpointRoot, runId)
+    // every frame cached below registers here and travels out via
+    // Outputs.cached, so callers can release the whole run
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     val entities = EntityStore.prepare(spark, dict, cfg).cache()
+    cached += entities
     // entity-side blocking index: only the blocked (beyond-broadcast) tier
-    // needs it — lazy, so the broadcast-sweep tier never pays its ~10
-    // tiny-data shuffle stages
-    lazy val entityB = Blocking.entityBlocks(entities, cfg).cache()
+    // needs it — materialized on first use, so the broadcast-sweep tier
+    // never pays its ~10 tiny-data shuffle stages
+    var entityBMemo: Option[DataFrame] = None
+    def entityB: DataFrame = entityBMemo.getOrElse {
+      val b = Blocking.entityBlocks(entities, cfg).cache()
+      entityBMemo = Some(b); cached += b
+      b
+    }
 
     val mentions = cp.stage("mentions") {
       MentionStage.detect(spark, turns, dict).toDF()
-    }.persist() // reused by blocking, scoring prep, decide-join, count
+    }.persist() // reused by blocking, scoring prep, count
 
     val decisions = cp.stage("decisions") {
       val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
         .select(Scorer.mentionPrepCols.map(col): _*).cache()
-      decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg)
+      cached += mentionsPrep
+      decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg,
+        cached += _)
     }.persist() // reused by components, triples, stats
 
     val components = cp.stage("components") {
@@ -70,7 +90,8 @@ object KgPipeline {
       TripleEmitter.all(entities, decisions, components)
     }
 
-    Outputs(mentions, decisions, components, triples, decisionStats(decisions))
+    Outputs(mentions, decisions, components, triples, decisionStats(decisions),
+      cached.toSeq)
   }
 
   /** Tiered decision stage (shared by batch and streaming):
@@ -92,16 +113,18 @@ object KgPipeline {
       entities: DataFrame,
       entityB: => DataFrame,
       dictSize: Long,
-      cfg: GraftConfig): DataFrame =
+      cfg: GraftConfig,
+      onCache: DataFrame => Unit = _ => ()): DataFrame =
     if (dictSize <= cfg.broadcastSweepMaxDict) {
-      Scorer.decideBest(spark, mentions, mentionsPrep, None, entities, cfg)
+      Scorer.decideBest(spark, mentionsPrep, None, entities, cfg)
     } else {
       val mentionB = Blocking.mentionBlocks(mentionsPrep, cfg).persist()
+      onCache(mentionB)
       // mention-side hot keys: > ~1% of mentions sharing one key => salt
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
       val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
-      Scorer.decideBest(spark, mentions, mentionsPrep, Some(pairs), entities, cfg, sweep = false)
+      Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg, sweep = false)
     }
 
   /** Decision-rate stats (reference get_decision_statistics,

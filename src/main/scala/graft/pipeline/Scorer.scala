@@ -83,9 +83,15 @@ object Scorer {
       .withColumn("m_emb", emb(col("m_x1")))
   }
 
-  /** Columns a prepared-mentions frame must carry into scorePairs. */
+  /** Columns a prepared-mentions frame must carry into scorePairs /
+    * decideBest. conv_id/turn_idx/offset ride along so the decision stage
+    * can project decisions WITHOUT re-joining the mentions table — in the
+    * broadcast-sweep tier that join was the only exchange left between the
+    * mentions scan and the decisions projection, and at transcript scale a
+    * corpus-sized self-join shuffle is pure waste. */
   val mentionPrepCols: Seq[String] =
-    Seq("mention_id", "surface", "mention_type", "m_emb", "tf_tokens", "tf_counts", "tf_norm")
+    Seq("mention_id", "conv_id", "turn_idx", "offset", "surface", "mention_type",
+      "m_emb", "tf_tokens", "tf_counts", "tf_norm")
 
   /** Adds TF columns to an EntityStore.prepare-d entity frame. */
   def prepareEntities(entities: DataFrame): DataFrame = withTf(entities, col("x1"))
@@ -226,12 +232,15 @@ object Scorer {
     * `pairs`: Some((mention_id, id) ids-only blocked candidates) seeds the
     * scorer and — with sweep=false — bounds it (the beyond-broadcast scale
     * tier, recall gated by P/R tests). None = pure exact sweep: a MAP-ONLY
-    * pass over mentions with no candidate shuffle and no hot keys at all —
-    * the right plan whenever the dictionary is broadcast-resident, since
-    * the bound-pruned sweep subsumes whatever a blocking join would seed. */
+    * pass — mentionsPrep carries conv/turn/offset/surface through, so the
+    * decisions projection needs NO join back to the mentions table: zero
+    * exchanges between the mentions scan and the decisions output (the
+    * plan-gated "map-only" claim), with no candidate shuffle and no hot
+    * keys at all. The right plan whenever the dictionary is
+    * broadcast-resident, since the bound-pruned sweep subsumes whatever a
+    * blocking join would seed. */
   def decideBest(
       spark: SparkSession,
-      mentions: DataFrame,
       mentionsPrep: DataFrame,
       pairs: Option[DataFrame],
       entities: DataFrame,
@@ -239,7 +248,7 @@ object Scorer {
       sweep: Boolean = true): DataFrame = {
     val bc = spark.sparkContext.broadcast(entitySides(entities))
     val ment = mentionsPrep.select(
-      col("mention_id"),
+      col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"), col("surface"),
       sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
     // left join: a mention with no blocked candidates still gets the exact
@@ -253,26 +262,27 @@ object Scorer {
         ment.withColumn("cands", lit(null).cast("array<string>"))
     }
     val bestU = bestCandidateUdf(bc, cfg, sweep = sweep || pairs.isEmpty)
+    // field access on a null struct yields null, so an empty-dictionary
+    // sweep (b null) flows through as a null best_id row
     val best = withCands
       .withColumn("b", bestU(col("m_side"), col("cands")))
-      .filter(col("b").isNotNull)
-      .select(col("mention_id"), col("b._1").as("entity_id"),
+      .select(col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"),
+        col("surface"), col("b._1").as("best_id"),
         col("b._2").as("bge_score"), col("b._3").as("cross_encoder_score"),
         col("b._4").as("fuzz_score"), col("b._5").as("levenshtein_score"),
         col("b._6").as("final_score"))
-    decideFromBest(mentions, best, cfg)
+    decideFromBest(best, cfg)
   }
 
-  /** Threshold decisions given each mention's best candidate row (or no row
+  /** Threshold decisions projected over per-mention best rows (best_id null
     * for candidate-less mentions: create-with-confidence-1.0, reference
-    * disambiguation.py:126-135). */
-  private def decideFromBest(mentions: DataFrame, best: DataFrame, cfg: GraftConfig): DataFrame = {
+    * disambiguation.py:126-135). Pure projection — no join, no shuffle.
+    * `best_id` is retained in the output (the pre-decision argmax entity):
+    * the forced-decision surface re-derives the midpoint branch from it. */
+  def decideFromBest(best: DataFrame, cfg: GraftConfig): DataFrame = {
     val createdId = udf((surface: String) => Scoring.createdId(surface))
-    val joined = mentions
-      .select("mention_id", "conv_id", "turn_idx", "offset", "surface")
-      .join(best, Seq("mention_id"), "left_outer")
-    joined.withColumn("decision",
-        when(col("entity_id").isNull, lit(graft.model.Decisions.Create))
+    best.withColumn("decision",
+        when(col("best_id").isNull, lit(graft.model.Decisions.Create))
           .when(col("final_score") >= cfg.highThreshold, lit(graft.model.Decisions.Merge))
           .when(col("final_score") <= cfg.lowThreshold, lit(graft.model.Decisions.Create))
           .otherwise(
@@ -281,16 +291,15 @@ object Scorer {
                 .otherwise(lit(graft.model.Decisions.Create))
             else lit(graft.model.Decisions.Ambiguous)))
       .withColumn("match_id",
-        when(col("decision") === graft.model.Decisions.Merge, col("entity_id")))
+        when(col("decision") === graft.model.Decisions.Merge, col("best_id")))
       .withColumn("resolved_id",
-        when(col("decision") === graft.model.Decisions.Merge, col("entity_id"))
+        when(col("decision") === graft.model.Decisions.Merge, col("best_id"))
           .when(col("decision") === graft.model.Decisions.Create, createdId(col("surface"))))
       .withColumn("bge_score", coalesce(col("bge_score"), lit(0.0)))
       .withColumn("cross_encoder_score", coalesce(col("cross_encoder_score"), lit(0.0)))
       .withColumn("fuzz_score", coalesce(col("fuzz_score"), lit(0.0)))
       .withColumn("levenshtein_score", coalesce(col("levenshtein_score"), lit(0.0)))
       .withColumn("final_score", coalesce(col("final_score"), lit(1.0)))
-      .drop("entity_id")
   }
 
   /** Per-mention top-k candidates via the reference retrieval semantics

@@ -48,9 +48,16 @@ object StreamingKg {
         val mentions = MentionStage.detect(spark, batch.as[Turn], dict).toDF()
         val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
           .select(Scorer.mentionPrepCols.map(col): _*)
+        // per-batch caches (the blocked tier persists mentionB) are released
+        // after the sink write — an unbounded stream must not accumulate one
+        // cached frame per micro-batch; entities/entityB live for the
+        // stream's lifetime by design (dictionary-sized)
+        val batchCached = scala.collection.mutable.ArrayBuffer[DataFrame]()
         graft.pipeline.KgPipeline
-          .decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg)
+          .decideTier(spark, mentions, mentionsPrep, entities, entityB, dict.size.toLong, cfg,
+            batchCached += _)
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        batchCached.foreach(_.unpersist(false))
       }
   }
 

@@ -64,4 +64,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("PushedFilters: [IsNotNull("))
   }
+
+  test("kg_onehop: the pred=same_as filter prunes partitions of the triples sink") {
+    // the triples table is written partitionBy(pred) — the single-predicate
+    // traversal must read ONLY the same_as partition, the property the
+    // 100TB per-predicate query story rests on
+    val p = plan("kg_onehop")
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pred") && pf.contains("same_as"),
+      s"expected pred=same_as in PartitionFilters, got: $pf\n${p.take(2000)}")
+  }
+
+  test("broadcast-sweep decide tier is MAP-ONLY: zero exchanges scan-to-decisions") {
+    // the sweep tier's claim is that no shuffle exists between the mentions
+    // scan and the decisions projection (no candidate pair join, no
+    // mentions self-join): assert zero Exchange operators in the plan
+    import graft.core.GraftConfig
+    import graft.fixtures.Synth
+    import graft.pipeline.{KgPipeline, MentionStage, Scorer, TranscriptSource, EntityStore}
+    val cfg = GraftConfig.default
+    val spec = Synth.Spec(nConv = 5, turnsPerConv = 4)
+    val dict = Synth.dictionary(spec)
+    val turns = TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict))
+    // materialized mentions table, exactly as the pipeline persists it (the
+    // one exchange upstream of here is MentionStage's deterministic conv_id
+    // repartition, part of the mention CONTRACT, not of the decide stage)
+    val mentions = MentionStage.detect(spark, turns, dict).toDF().persist()
+    mentions.count()
+    val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
+      .select(Scorer.mentionPrepCols.map(org.apache.spark.sql.functions.col): _*)
+    val entities = EntityStore.prepare(spark, dict, cfg)
+    val decisions = Scorer.decideBest(spark, mentionsPrep, None, entities, cfg)
+    val p = decisions.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the formatted explain re-prints the cached mentions InMemoryRelation's
+    // OWN plan (which legitimately contains detect's conv_id repartition);
+    // the gate is the operators ABOVE the InMemoryTableScan — the decide
+    // stage itself
+    val decideStage = p.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(decideStage.exists(_.contains("InMemoryTableScan")),
+      s"expected the decide plan to read the cached mentions:\n${p.take(3000)}")
+    assert(!decideStage.exists(_.contains("Exchange")),
+      s"sweep tier must not shuffle:\n${decideStage.mkString("\n")}")
+  }
 }

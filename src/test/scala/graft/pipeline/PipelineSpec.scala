@@ -55,7 +55,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("mention_id", "entity_id", "final_score").collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
     // fused broadcast scorer on the same seeds (no sweep)
-    val best = Scorer.decideBest(spark, out.mentions, mentionsPrep, Some(pairs), entities,
+    val best = Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities,
         cfg, sweep = false)
       .filter(col("match_id").isNotNull || col("decision") =!= "create")
       .select("mention_id", "final_score").collect()
@@ -114,6 +114,20 @@ class PipelineSpec extends AnyFunSuite {
     Files.deleteIfExists(java.nio.file.Paths.get(s"$root/triples.manifest.json"))
     val t3 = run().triples.select("subj", "pred", "obj").as[Triple].collect().toSet
     assert(t3 == t1)
+  }
+
+  test("cache hygiene: Outputs.release() leaves no new persistent RDDs behind") {
+    // forced blocked tier so the run caches the full set: entities, entityB,
+    // mentionsPrep, mentionB, plus the five persisted outputs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict,
+      cfg.copy(broadcastSweepMaxDict = 0L))
+    out.triples.count() // materialize so the caches actually fill
+    assert(spark.sparkContext.getPersistentRDDs.size > before.size,
+      "expected the run to register cached frames")
+    out.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.keySet.diff(before)}")
   }
 
   test("manifest carries per-partition lineage") {
