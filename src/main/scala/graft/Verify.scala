@@ -78,6 +78,10 @@ object Verify {
       .select("mention_id", "conv_id", "turn_idx", "surface", "offset"))
     write("kg_decisions", golden.decisions.toDF()
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score"))
+    write("kg_decisions_forced", golden.forcedDecisions.toDF()
+      .select("mention_id", "decision", "match_id", "resolved_id", "final_score"))
+    write("kg_mention_props", Oracle.mentionPropCounts(golden)
+      .toDF("subj", "obj", "n_mentions"))
     write("kg_components", Oracle.components(dict, golden).toDF("id", "component"))
     write("kg_triples", golden.triples.toSeq.toDF("subj", "pred", "obj"))
     write("kg_decision_stats", Oracle.decisionStats(golden.decisions)

@@ -80,13 +80,31 @@ object TextStats {
     docs.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fingerprint"))
 
+  /** Positional k-gram char hashes of the lowercased text — the shared
+    * primitive under winnowSelect AND the gramHashFrame dump the DuckDB
+    * winnow twin re-derives the windowed min from (single hashing code
+    * path: the fingerprint and its oracle cannot drift). */
+  def gramHashes(text: String, k: Int): Array[Long] = {
+    val s = (if (text == null) "" else text).toLowerCase
+    if (s.length < k) Array.empty
+    else Array.tabulate(s.length - k + 1)(i => Dedup.hash64(s.substring(i, i + k), 0x6b43a9b5))
+  }
+
+  /** (doc_id, pos, h) rows of per-doc gram hashes — the {OUT} dump the
+    * text_winnow_fp oracle twin reads (docs shorter than k emit no rows). */
+  def gramHashFrame(docs: DataFrame, k: Int = 8): DataFrame = {
+    val g = udf((text: String) => gramHashes(text, k))
+    docs.select(col("doc_id"), posexplode(g(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+  }
+
   /** Winnowing fingerprint (rolling hash): k-gram char hashes, min per
-    * sliding window of w — the standard local document fingerprint. Emitted
-    * as per-doc summary (count / min / max of selected hashes). */
+    * sliding window of w (earliest-min on ties), distinct selected hashes —
+    * the standard local document fingerprint. Emitted as per-doc summary
+    * (count / min / max of selected hashes). */
   def winnowSelect(text: String, k: Int, w: Int): Array[Long] = {
-    val s = text.toLowerCase
-    if (s.length < k) return Array.empty
-    val grams = Array.tabulate(s.length - k + 1)(i => Dedup.hash64(s.substring(i, i + k), 0x6b43a9b5))
+    val grams = gramHashes(text, k)
+    if (grams.isEmpty) return Array.empty
     if (grams.length <= w) return Array(grams.min)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var i = 0

@@ -29,6 +29,7 @@ object Oracle {
   final case class Result(
       mentions: Seq[Mention],
       decisions: Seq[Decision],
+      forcedDecisions: Seq[Decision], // same best, forceDecision=true (X11)
       sameAs: Seq[(String, String)], // (dup, canonical)
       triples: Set[Triple],
       candidatesTopK: Seq[CandidateRow])
@@ -53,13 +54,17 @@ object Oracle {
       val best = scored.sortBy { case (e, s) => (-s.final_score, e.id) }.headOption
         .map { case (e, s) => (byId(e.id), s) }
       val decision = Scoring.decideMention(m, best, cfg)
+      // forced twin: identical best candidate, force_decision=true resolves
+      // the ambiguous band at the midpoint (disambiguation.py:403-407)
+      val forced = Scoring.decideMention(m, best, cfg.copy(forceDecision = true))
       val topk = Candidates
         .matchCandidates(m.surface, Nil, m.mention_type, mTf, mEmb, prepped, cfg)
         .map(r => CandidateRow(m.mention_id, r.entityId, r.rank, r.score.final_score))
-      (decision, topk)
+      (decision, forced, topk)
     }
     val decisions = perMention.map(_._1)
-    val candidatesTopK = perMention.flatMap(_._2)
+    val forcedDecisions = perMention.map(_._2)
+    val candidatesTopK = perMention.flatMap(_._3)
 
     // dictionary self-dedup edges: entity pairs scoring >= HIGH threshold
     // (Candidates.dupEdges — the identical code the pipeline's broadcast
@@ -82,7 +87,21 @@ object Oracle {
       triples += Triple(d.mention_id.split("#").take(2).mkString("#"), "mentions",
         canon.getOrElse(r, r))
 
-    Result(mentions, decisions, sameAs, triples.result(), candidatesTopK)
+    Result(mentions, decisions, forcedDecisions, sameAs, triples.result(), candidatesTopK)
+  }
+
+  /** (turn_subj, canonical_obj, n) mention-edge multiplicities — the props
+    * twin of the engine's `mentions` triples (props["n"]): how many times a
+    * turn mentions the same canonical entity (the information a bare
+    * distinct triple discards). */
+  def mentionPropCounts(r: Result): Seq[(String, String, Long)] = {
+    val canon = r.sameAs.toMap
+    r.decisions
+      .flatMap(d => d.resolved_id.map(rid =>
+        (d.mention_id.split("#").take(2).mkString("#"), canon.getOrElse(rid, rid))))
+      .groupBy(identity).toSeq
+      .map { case ((s, o), xs) => (s, o, xs.size.toLong) }
+      .sortBy(x => (x._1, x._2))
   }
 
   /** (id, component) labeling over dict ids + created ids — the oracle twin

@@ -3,15 +3,28 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** (subj, pred, obj) triple materialization — the engine's graph surface
-  * (Neo4j node properties + RELATIONSHIP edges in the reference,
+/** (subj, pred, obj, props) triple materialization — the engine's graph
+  * surface (Neo4j node properties + RELATIONSHIP edges in the reference,
   * /root/reference/services/neo4j_database.py:144-155, 411-417, jointly
   * carry exactly this information; SURVEY.md §7.1 triple vocabulary).
+  *
+  * `props: map<string,string>` carries edge properties, mirroring the
+  * reference's `r += $props` on relationships (neo4j_database.py:411-417)
+  * and their surfacing in get_related_entities (:437-471): property triples
+  * carry an empty map; `mentions` edges carry n = the mention multiplicity
+  * within the turn (the information the old distinct() discarded).
+  *
+  * Spark cannot run set operations over map columns, so each family
+  * dedups its bare (subj, pred, obj) BEFORE attaching props; families are
+  * disjoint by pred, making the union duplicate-free by construction.
   *
   * Written partitioned by pred (+ low-cardinality pred vocabulary =>
   * partition pruning for per-predicate queries at 100TB scale).
   */
 object TripleEmitter {
+
+  private val emptyProps: org.apache.spark.sql.Column =
+    map().cast("map<string,string>")
 
   /** Entity property triples: (id, type|alias|attr:<k>|source, value). */
   def entityTriples(entities: DataFrame): DataFrame = {
@@ -24,7 +37,9 @@ object TripleEmitter {
       .select(col("subj"), concat(lit("attr:"), col("k")).as("pred"), explode(col("vs")).as("obj"))
     val sourceT = entities.filter(col("source").isNotNull)
       .select(col("id").as("subj"), lit("source").as("pred"), col("source").as("obj"))
+    // dedup the bare triples (duplicate aliases / attr values), then props
     typeT.union(aliasT).union(attrT).union(sourceT)
+      .distinct().withColumn("props", emptyProps)
   }
 
   /** same_as triples from the CC labels: every non-canonical member points
@@ -32,11 +47,12 @@ object TripleEmitter {
   def sameAsTriples(components: DataFrame): DataFrame =
     components.filter(col("id") =!= col("component"))
       .select(col("id").as("subj"), lit("same_as").as("pred"), col("component").as("obj"))
+      .withColumn("props", emptyProps)
 
   /** (conv_id#turn_idx, mentions, canonical entity) from decisions.
     * resolved ids are rewritten through the canonical mapping; ambiguous
-    * mentions (resolved_id null) emit nothing. distinct: the same entity
-    * mentioned twice in a turn is one triple. */
+    * mentions (resolved_id null) emit nothing. The same entity mentioned
+    * k times in a turn is ONE triple carrying props["n"] = k. */
   def mentionTriples(decisions: DataFrame, components: DataFrame): DataFrame =
     decisions.filter(col("resolved_id").isNotNull)
       .join(components.withColumnRenamed("id", "resolved_id"), Seq("resolved_id"), "left_outer")
@@ -44,13 +60,14 @@ object TripleEmitter {
         concat(col("conv_id"), lit("#"), col("turn_idx")).as("subj"),
         lit("mentions").as("pred"),
         coalesce(col("component"), col("resolved_id")).as("obj"))
-      .distinct()
+      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("n"))
+      .select(col("subj"), col("pred"), col("obj"),
+        map(lit("n"), col("n").cast("string")).as("props"))
 
   def all(entities: DataFrame, decisions: DataFrame, components: DataFrame): DataFrame =
     entityTriples(entities)
       .union(sameAsTriples(components))
       .union(mentionTriples(decisions, components))
-      .distinct()
 
   def write(triples: DataFrame, path: String): Unit =
     triples.write.mode("overwrite").partitionBy("pred").parquet(path)
