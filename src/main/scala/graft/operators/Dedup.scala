@@ -248,6 +248,45 @@ object Dedup {
       sets, minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist(), tau)
   }
 
+  /** Heavy-duplication corpus variant: every doc with id % `every` == 0 is
+    * cloned `copies` times, each clone appending one distinguishing token —
+    * clone families share all original shingles (pairwise jaccard ~ m/(m+2),
+    * >= 0.9 for realistic doc lengths), so the exhaustive shingle-bucket
+    * join pays ~df^2 rows per family shingle while LSH pays the family's
+    * true pairs once. The crossover demo corpus (BENCH dedup_heavy). */
+  def cloneHeavy(docs: DataFrame, copies: Int, every: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clones = docs.filter(col(idCol) % every === 0)
+      .select(col(idCol), col(textCol), explode(sequence(lit(1), lit(copies))).as("i"))
+      .select((col(idCol) + col("i") * 10000000L).as(idCol),
+        concat(col(textCol), lit(" clonemark"), col("i")).as(textCol))
+    docs.select(col(idCol), col(textCol)).union(clones)
+  }
+
+  /** Boilerplate-family corpus variant: every doc with id % `every` == 0
+    * spawns `copies` pseudo-docs that keep the doc's first third of words
+    * (a shared boilerplate prefix — those shingles reach df ~ copies) and
+    * fill the remainder with clone-unique tokens, so pairwise jaccard
+    * within a family is ~0.2: far below dedup thresholds, NO true pairs.
+    * This is the template/boilerplate shape of real web corpora, and the
+    * regime where the exhaustive shingle-bucket join pays df^2 rows per
+    * boilerplate shingle for zero output while LSH's signatures stay
+    * linear — the structural crossover (BENCH dedup_heavy). */
+  def cloneBoilerplate(docs: DataFrame, copies: Int, every: Int = 10,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mk = udf((id: Long, text: String, i: Int) => {
+      val ws = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+      val k = math.max(3, ws.length / 3)
+      val filler = Array.tabulate(math.max(ws.length - k, 4))(j => s"q${id}c${i}t$j")
+      (ws.take(k) ++ filler).mkString(" ")
+    })
+    val clones = docs.filter(col(idCol) % every === 0)
+      .select(col(idCol), col(textCol), explode(sequence(lit(1), lit(copies))).as("i"))
+      .select((col(idCol) + col("i") * 10000000L).as(idCol),
+        mk(col(idCol), col(textCol), col("i")).as(textCol))
+    docs.select(col(idCol), col(textCol)).union(clones)
+  }
+
   /** 64-bit SimHash over whitespace tokens (counted, not distinct). */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)

@@ -31,17 +31,36 @@ object Blocking {
     else TextSim.lshKeys(emb.toArray, cfg.lshTables, cfg.lshBits)
   }
 
-  /** (key, entity_id) blocking index over three channels:
-    *  - full surface + char n-grams of name/aliases (lexical recall; grams
-    *    above cfg.blockMaxDf entity-df are dropped — all cost, no
+  /** Distinct lowercased word tokens of a scoring text, prefixed so the
+    * key space never collides with char n-grams. */
+  val ctxTokensUdf = udf { x1: String =>
+    if (x1 == null) Array.empty[String]
+    else TextSim.tokens(x1.toLowerCase).distinct.map("w:" + _)
+  }
+
+  /** (key, entity_id, channel) blocking index over three channels:
+    *  - "lex": full surface + char n-grams of name/aliases (lexical recall;
+    *    grams above cfg.blockMaxDf entity-df are dropped — all cost, no
     *    selectivity — the full-surface key keeps exact-surface recall);
-    *  - "t:<type>" for types with <= cfg.typeBlockMaxEntities members (the
-    *    reference's type branch scores every same-type entity,
+    *  - "type": "t:<type>" for types with <= cfg.typeBlockMaxEntities
+    *    members (the reference's type branch scores every same-type entity,
     *    disambiguation.py:175-197; the cap keeps mega-types off the
     *    quadratic path at scale);
-    *  - embedding sign-LSH buckets (the FAISS-retrieval analog — catches
-    *    candidates that win on context/embedding with zero name overlap).
-    * `entities` must be EntityStore.prepare-d (has emb). */
+    *  - "lsh": embedding sign-LSH buckets (the FAISS-retrieval analog);
+    *  - "ctx": df-capped word tokens of the scoring text (X1). This channel
+    *    is the DETERMINISTIC recall floor for context-similar pairs with
+    *    zero name overlap: any pair reaching the decision band without name
+    *    similarity needs TF-cosine >= ~0.5 (the weight algebra: final >=
+    *    lowThreshold with fuzz=lev=0 forces ce >= (low - bgeW)/ceW), which
+    *    means multiple shared tokens — at least one of which is rare enough
+    *    to survive the df cap. Sign-LSH alone is probabilistic at these
+    *    cosines (recall ~50% per pair at 4x12); the token channel closes
+    *    that hole exactly (measured: 17/13312 forced-tier decision
+    *    divergences -> 0, app.ChannelRecall).
+    * The channel column exists for recall ACCOUNTING (which channel lost a
+    * candidate — PipelineSpec's per-channel breakdown); candidatePairs
+    * ignores it and dedups pairs across channels.
+    * `entities` must be EntityStore.prepare-d (has x1, emb). */
   def entityBlocks(entities: DataFrame, cfg: GraftConfig): DataFrame = {
     val keys = blockKeysUdf(cfg)
     val surfaces = entities
@@ -61,11 +80,20 @@ object Blocking {
       .filter(col("tn") <= cfg.typeBlockMaxEntities).select("key", "id")
     val lsh = entities.select(col("id"), explode(lshKeysUdf(cfg)(col("emb"))).as("key"))
       .select("key", "id")
-    grams.union(fullSurface.select("key", "id")).union(typeKeys).union(lsh)
+    val ctx = entities.select(col("id"), explode(ctxTokensUdf(col("x1"))).as("key"))
       .distinct()
+    val ctxDf = ctx.groupBy("key").agg(count(lit(1)).as("df"))
+    val ctxKeys = ctx.join(ctxDf, "key")
+      .filter(col("df") <= cfg.blockMaxDf)
+      .select("key", "id")
+    grams.union(fullSurface.select("key", "id")).distinct()
+      .withColumn("channel", lit("lex"))
+      .union(typeKeys.distinct().withColumn("channel", lit("type")))
+      .union(lsh.distinct().withColumn("channel", lit("lsh")))
+      .union(ctxKeys.withColumn("channel", lit("ctx")))
   }
 
-  /** (key, mention_id): same three channels on the mention side.
+  /** (key, mention_id, channel): same three channels on the mention side.
     * `mentionsPrep` must carry surface, mention_type and m_emb
     * (Scorer.prepareMentions output). */
   def mentionBlocks(mentionsPrep: DataFrame, cfg: GraftConfig): DataFrame = {
@@ -76,7 +104,12 @@ object Blocking {
       .select(col("mention_id"), concat(lit("t:"), col("mention_type")).as("key"))
     val lsh = mentionsPrep
       .select(col("mention_id"), explode(lshKeysUdf(cfg)(col("m_emb"))).as("key"))
-    lexical.union(typed.select("mention_id", "key")).union(lsh).distinct()
+    val ctx = mentionsPrep
+      .select(col("mention_id"), explode(ctxTokensUdf(col("m_x1"))).as("key"))
+    lexical.distinct().withColumn("channel", lit("lex"))
+      .union(typed.select("mention_id", "key").distinct().withColumn("channel", lit("type")))
+      .union(lsh.distinct().withColumn("channel", lit("lsh")))
+      .union(ctx.distinct().withColumn("channel", lit("ctx")))
   }
 
   /** Distinct (mention_id, entity_id) candidate pairs via the key equi-join,

@@ -91,7 +91,7 @@ object Scorer {
     * corpus-sized self-join shuffle is pure waste. */
   val mentionPrepCols: Seq[String] =
     Seq("mention_id", "conv_id", "turn_idx", "offset", "surface", "mention_type",
-      "m_emb", "tf_tokens", "tf_counts", "tf_norm")
+      "m_x1", "m_emb", "tf_tokens", "tf_counts", "tf_norm")
 
   /** Adds TF columns to an EntityStore.prepare-d entity frame. */
   def prepareEntities(entities: DataFrame): DataFrame = withTf(entities, col("x1"))

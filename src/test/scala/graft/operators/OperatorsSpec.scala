@@ -64,6 +64,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exhaustive)
   }
 
+  test("boilerplate-family corpus: LSH equals exhaustive; raised df cap required") {
+    // template families larger than the default df cap (the 100TB
+    // boilerplate shape, BENCH dedup_heavy): shared prefix shingles at
+    // df ~ family size, pairwise jaccard ~0.2 => NO new true pairs; both
+    // operators must agree exactly on the organic pairs
+    val boiler = Dedup.cloneBoilerplate(docs, copies = 30, every = 10)
+    val bsets = Dedup.shingleSets(boiler, n = 3, maxDf = 100L).cache()
+    val exhaustive = Dedup.jaccardPairs(bsets, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(bsets, 0.6, numHashes = 64, bands = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exhaustive)
+    // the families themselves contribute no pairs (jaccard ~0.2 < 0.6)
+    assert(!exhaustive.exists { case (a, b) => a >= 10000000L && b >= 10000000L })
+    bsets.unpersist(false)
+  }
+
+  test("skipped degenerate buckets are counted, not silent") {
+    // four identical docs share every band bucket; maxBucket=2 forces the
+    // cap: the accumulator must record the skips ('no silent caps')
+    import spark.implicits._
+    val quad = (0L until 4L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val qsets = Dedup.shingleSets(quad, n = 3, maxDf = 100L)
+    val acc = spark.sparkContext.longAccumulator("test.minhash.skipped")
+    Dedup.minhashCandidates(qsets, 128, 32, maxBucket = 2, skipped = Some(acc)).count()
+    assert(acc.value > 0, "expected skipped-bucket count > 0 at maxBucket=2")
+  }
+
   test("minhash signature similarity estimates jaccard") {
     val a = (1 to 100).map(i => s"sh$i")
     val b = (21 to 120).map(i => s"sh$i") // true jaccard = 80/120 = 0.667
