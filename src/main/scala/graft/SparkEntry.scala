@@ -107,6 +107,20 @@ object SparkEntry {
     embCache.computeIfAbsent(dir + "@" + s.hashCode(), _ =>
       Similarity.prep(tbl(s, dir, "embeddings")).persist())
 
+  /** IVF index (Lloyd model + cell-assigned corpus) memoized per
+    * (session, dir): the model build walks the corpus iters+1 times, and
+    * three driver queries (ivf_topk, ivf_recall twice) would otherwise each
+    * rebuild it from scratch. The assigned frame is persisted — it IS the
+    * index. */
+  private val ivfCache =
+    new ConcurrentHashMap[String, (Array[(Int, Array[Double])], DataFrame)]()
+  private def ivfIndex(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
+    ivfCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
+      val corpus = prepEmb(s, dir)
+      val model = Similarity.kmeans(corpus, 8, 3)
+      (model, Similarity.ivfAssign(corpus, model).persist())
+    })
+
   /** Perturbed probe vectors planted from the corpus (vec_id%10==0):
     * probe = [v1+0.05, v2..v64], probe_id = vec_id+100000. Memoized +
     * persisted per (session, dir) like prepEmb. */
@@ -340,8 +354,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 10), 5)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
-      val corpus = prepEmb(s, dir)
-      Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10), 5)
+      val (model, cells) = ivfIndex(s, dir)
+      Similarity.ivfTopKAssigned(cells, model, prepEmb(s, dir).filter(col("vec_id") < 10), 5)
     }),
     // recall@5 of the IVF approximation against its exact brute-force twin,
     // per query vector — the quality gate for the approximate path
@@ -349,7 +363,8 @@ object SparkEntry {
       val corpus = prepEmb(s, dir)
       val q = corpus.filter(col("vec_id") < 10)
       val brute = Similarity.bruteForceTopK(corpus, q, 5).select(col("qid"), col("vec_id"))
-      val ivf = Similarity.ivfTopK(corpus, q, 5)
+      val (model, cells) = ivfIndex(s, dir)
+      val ivf = Similarity.ivfTopKAssigned(cells, model, q, 5)
         .select(col("qid").as("iq"), col("vec_id").as("iv"))
       brute.join(ivf, col("qid") === col("iq") && col("vec_id") === col("iv"), "left_outer")
         .groupBy("qid").agg((count(col("iv")) / lit(5.0)).as("recall_at_5"))

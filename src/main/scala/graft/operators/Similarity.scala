@@ -107,17 +107,22 @@ object Similarity {
   def nearestCells(v: Array[Double], cents: Array[(Int, Array[Double])], nprobe: Int): Seq[Int] =
     cents.map { case (c, cv) => (sqDist(v, cv), c) }.sortBy(identity).take(nprobe).map(_._2).toSeq
 
-  /** IVF approximate top-k: assign corpus to cells once, probe the nprobe
-    * nearest cells per query, exact cosine within the probed cells. The
-    * expensive join is an equi-join on `cell` instead of a cross join. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              c: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    val model = kmeans(corpus, c, iters)
-    val bc = spark.sparkContext.broadcast(model)
+  /** Corpus with a `cell` assignment column for the given IVF model —
+    * the index-build step, separable so sessions can build (and persist)
+    * it once and serve many top-k queries against it. */
+  def ivfAssign(corpus: DataFrame, model: Array[(Int, Array[Double])]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
     val assignU = udf((v: Seq[Double]) => nearestCell(v.toArray, bc.value))
+    corpus.withColumn("cell", assignU(col("v")))
+  }
+
+  /** IVF top-k over a pre-assigned corpus (`cells` = ivfAssign output):
+    * probe the nprobe nearest cells per query, exact cosine within them.
+    * The expensive join is an equi-join on `cell` instead of a cross join. */
+  def ivfTopKAssigned(cells: DataFrame, model: Array[(Int, Array[Double])],
+                      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val bc = cells.sparkSession.sparkContext.broadcast(model)
     val probeU = udf((v: Seq[Double]) => nearestCells(v.toArray, bc.value, nprobe))
-    val cells = corpus.withColumn("cell", assignU(col("v")))
     val q = broadcast(queries
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .withColumn("cell", explode(probeU(col("qv")))))
@@ -126,6 +131,13 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"), col("cosine"))
+  }
+
+  /** IVF approximate top-k: build the model, assign cells once, query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              c: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val model = kmeans(corpus, c, iters)
+    ivfTopKAssigned(ivfAssign(corpus, model), model, queries, k, nprobe)
   }
 
   /** Corpus-SELF embedding near-dup pairs via random-hyperplane sign-LSH
