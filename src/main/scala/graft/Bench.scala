@@ -66,6 +66,7 @@ object Bench {
     val (nTriples, kgCold) = timedKg(spark)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retries = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -126,30 +127,44 @@ object Bench {
     // count runs `nRuns` times; the MEDIAN goes into the efficiency math and
     // min/max record the spread (single shots on this VM are noise).
     // Fail-soft: a broken run must not cost the whole bench line.
+    // Each run gets ONE retry: at 1.6M turns × 32 threads in an 8g heap,
+    // cached corpus-scale blocks get evicted under memory pressure, and
+    // Spark's eviction/read-lock race occasionally kills a stage with
+    // "Block rdd_X_N does not exist" (observed ~1/12 runs). A retry keeps
+    // the median over the full nRuns; recovered flakes are recorded under
+    // `retries` in the JSON so they never pass silently.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
     val scalingCores = Seq(1, 4, 8, 32)
     val scaling = scala.collection.mutable.LinkedHashMap[Int, Seq[Double]]()
     scalingCores.foreach { c =>
-      val runs = (1 to nRuns).flatMap { i =>
+      def once(): Double = {
+        val s = newSession(c.toString)
         try {
-          val s = newSession(c.toString)
-          try {
-            val turns = graft.pipeline.TranscriptSource.read(s, scalePath)
-            val dict = graft.fixtures.Synth.dictionary(scaleSpec)
-            val t0 = System.nanoTime()
-            val out = graft.pipeline.KgPipeline
-              .run(s, turns, dict, graft.core.GraftConfig.default)
-            val n = out.triples.count()
-            val tps = n / ((System.nanoTime() - t0) / 1e9)
-            out.release()
-            Some(tps)
-          } finally s.stop()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] scaling local[$c] run $i FAILED: ${e.getMessage}")
-          errors(s"scaling_local_${c}_run$i") =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
-        }
+          val turns = graft.pipeline.TranscriptSource.read(s, scalePath)
+          val dict = graft.fixtures.Synth.dictionary(scaleSpec)
+          val t0 = System.nanoTime()
+          val out = graft.pipeline.KgPipeline
+            .run(s, turns, dict, graft.core.GraftConfig.default)
+          val n = out.triples.count()
+          val tps = n / ((System.nanoTime() - t0) / 1e9)
+          out.release()
+          tps
+        } finally s.stop()
+      }
+      val runs = (1 to nRuns).flatMap { i =>
+        (1 to 2).view.map { attempt =>
+          try Some(once())
+          catch { case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(
+              s"[bench] scaling local[$c] run $i attempt $attempt FAILED: $msg")
+            // only a run whose retry ALSO failed is an error; a recovered
+            // flake is recorded separately so it never reads as a broken query
+            (if (attempt == 2) errors else retries)(
+              s"scaling_local_${c}_run${i}_attempt$attempt") = msg
+            None
+          }
+        }.collectFirst { case Some(tps) => tps }
       }
       if (runs.nonEmpty) scaling(c) = runs
     }
@@ -170,12 +185,13 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val retryJson = retries.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val scalingJson = scaling.map { case (c, runs) =>
       f""""local_$c":{"median":${median(runs)}%.1f,"min":${runs.min}%.1f,"max":${runs.max}%.1f,"runs":${runs.size}}"""
     }.mkString("{", ",", "}")
     val total = kgCold + results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
   }
 }
