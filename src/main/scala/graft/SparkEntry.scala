@@ -61,8 +61,10 @@ object SparkEntry {
       val dict = Synth.dictionary(spec)
       val turns = TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict))
       val out = KgPipeline.run(spark, turns, dict, GraftConfig.default)
+      // mentions/decisions are already persisted inside KgPipeline.run;
+      // re-persisting the same plan only logs CacheManager warnings
       KgPipeline.Outputs(
-        out.mentions.persist(), out.decisions.persist(),
+        out.mentions, out.decisions,
         out.components.persist(), out.triples.persist(),
         out.decisionStats.persist(), out.cached)
     })

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TextSim
@@ -36,13 +37,32 @@ object GraftFunctions {
   def levRatio(a: UTF8String, b: UTF8String): Double =
     TextSim.levRatio(a.toString, b.toString)
 
+  /** Index-order dot product over two double arrays. Summation order is
+    * ascending index — bit-identical IEEE result to the left fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces, without the
+    * per-row intermediate array or the higher-order-function lambda
+    * evaluator. Inputs are fixed-dimension embedding vectors: no null
+    * elements (enforced upstream by the double cast of non-null parquet
+    * floats); unequal lengths take the shorter (engine vectors never
+    * disagree on dim). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_token_sort_ratio"),
       new ExpressionInfo(classOf[TokenSortRatioExpr].getName, "graft_token_sort_ratio"),
       (args: Seq[Expression]) => TokenSortRatioExpr(asString(args(0)), asString(args(1)))),
     (FunctionIdentifier("graft_lev_ratio"),
       new ExpressionInfo(classOf[LevRatioExpr].getName, "graft_lev_ratio"),
-      (args: Seq[Expression]) => LevRatioExpr(asString(args(0)), asString(args(1)))))
+      (args: Seq[Expression]) => LevRatioExpr(asString(args(0)), asString(args(1)))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotExpr(args(0), args(1))))
 
   // implicit input cast at build time (the ImplicitCastInputTypes trait's
   // signature is private[sql], so the coercion happens in the builder)
@@ -101,5 +121,39 @@ case class LevRatioExpr(left: Expression, right: Expression)
     GraftFunctions.levRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LevRatioExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Embedding dot product `graft_dot(array<double>, array<double>)` — the hot
+  * scalar of every similarity operator (brute-force/IVF top-k, cosine
+  * near-dup, LSH verify). The built-in spelling
+  * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` allocates an intermediate array
+  * and evaluates two lambdas per row; this compiles to one static call (a
+  * tight primitive loop) inside the surrounding WholeStageCodegen span.
+  * Null array => null (nullIntolerant); see GraftFunctions.dot for the
+  * element contract. */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftFunctions.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)
 }

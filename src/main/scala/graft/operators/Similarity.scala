@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (array<float>).
   *
   * Numeric discipline: vectors are cast element-wise to double and the dot
-  * product is a sequential left fold (`aggregate`), so the result is
-  * bit-identical to the DuckDB oracle's `list_sum([a[i]*b[i] ...])` — no
-  * tolerance windows in the correctness gate.
+  * product sums in ascending index order (the native `graft_dot`
+  * expression — a tight primitive loop, codegen'd; same IEEE result as a
+  * sequential left fold), so the result is bit-identical to the DuckDB
+  * oracle's `list_sum([a[i]*b[i] ...])` — no tolerance windows in the
+  * correctness gate.
   *
   * Scale paths:
   *  - bruteForceTopK: exact; the query side is tiny and broadcast, the
@@ -26,9 +28,16 @@ object Similarity {
   /** Element-wise double cast. */
   def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product (deterministic association order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Index-order dot product (deterministic association order) via the
+    * native codegen'd expression — replaces the
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` spelling, which allocated an
+    * intermediate array and ran two lambda evaluators per pair; the fold
+    * order is identical so every result is bit-unchanged. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -59,8 +68,12 @@ object Similarity {
   def kmeans(corpus: DataFrame, c: Int, iters: Int): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     // the Lloyd loop walks the corpus iters+1 times — cache for its
-    // lifetime only, released before returning (callers keep a lazy plan)
-    corpus.persist()
+    // lifetime only, released before returning, UNLESS the caller already
+    // persisted it (unpersisting a shared memoized frame here would
+    // silently evict it for every later query using it, and the async
+    // removal can race with a concurrently running job)
+    val ownCache = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) corpus.persist()
     var centroids: Array[(Int, Array[Double])] =
       corpus.orderBy("vec_id").limit(c).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getAs[Seq[Double]]("v").toArray) }
@@ -85,7 +98,7 @@ object Similarity {
           (cell, arr)
       }
     }
-    corpus.unpersist(false)
+    if (ownCache) corpus.unpersist(false)
     centroids
   }
 

@@ -51,6 +51,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dot: bit-identical to the aggregate/zip_with left fold; null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(17)(rnd.nextDouble() * 2 - 1), Seq.fill(17)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b").repartition(3)
+    val fold = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val got = df.select(col("id"), graft.operators.Similarity.dot(col("a"), col("b")).as("d"),
+      fold.as("f")).collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"id=${r.getLong(0)}"))
+    // SQL registration + null array => null
+    df.createOrReplaceTempView("dot_tbl")
+    val viaSql = spark.sql(
+      "SELECT id, graft_dot(a, b) AS d, graft_dot(a, CAST(NULL AS ARRAY<DOUBLE>)) AS n FROM dot_tbl")
+      .collect()
+    viaSql.foreach { r =>
+      val exp = got.find(_.getLong(0) == r.getLong(0)).get.getDouble(1)
+      assert(r.getDouble(1) == exp)
+      assert(r.isNullAt(2))
+    }
+  }
+
   test("usable inside ordinary Column pipelines via expr()") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

@@ -160,6 +160,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("kmeans never evicts a caller-persisted corpus (shared memoized frames survive)") {
+    val corpus = Similarity.prep(emb).persist()
+    corpus.count()
+    Similarity.kmeans(corpus, c = 4, iters = 2)
+    assert(corpus.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "kmeans unpersisted its caller's cached corpus")
+    corpus.unpersist(true)
+    // and on an unpersisted input it leaves no cache behind
+    val lazyCorpus = Similarity.prep(emb)
+    Similarity.kmeans(lazyCorpus, c = 4, iters = 2)
+    assert(lazyCorpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "kmeans leaked its internal cache")
+  }
+
   test("sign-LSH corpus-self near-dup equals the exhaustive all-pairs join at tau=0.99") {
     val corpus = Similarity.prep(emb).cache()
     // exhaustive a<b reference pairs
