@@ -16,16 +16,24 @@ import scala.util.hashing.MurmurHash3
   *                 SETS (idf-style), which bounds the worst blocking bucket
   *                 at scale and keeps the semantics reproducible in plain SQL
   *                 for the oracle.
-  *  - minhashLsh:  128 minhashes via the 2-universal combine h1+(i+1)*h2 —
+  *  - minhashLsh:  minhashes via the 2-universal combine h1+(i+1)*h2 —
   *                 TWO murmur evaluations per shingle plus H cheap ALU
   *                 combines (the inner loop is still O(|sh|*H) multiply-adds;
   *                 the combine saves the H-2 hash evaluations, not the loop),
-  *                 32 bands x 4 rows, bucket join, then exact-jaccard
-  *                 verification of candidates. Verified output equals the
-  *                 exhaustive join wherever LSH recall is 1 (collision prob
-  *                 at the 0.6 cutoff with planted dups at j>=0.88: miss prob
-  *                 < 1e-13 per pair). Callers should persist `sets` — the
-  *                 signature and verify stages each walk it.
+  *                 default 64 hashes = 16 bands x 4 rows, bucket join, then
+  *                 exact-jaccard verification of candidates. Verified output
+  *                 equals the exhaustive join wherever band recall is 1;
+  *                 the honest miss math (p_band = j^rows, miss =
+  *                 (1-p_band)^bands): the driver hash gate runs at sf0.01,
+  *                 whose lowest pair sits at j = 0.90 -> miss 3.9e-8/pair;
+  *                 sf0.1's lowest pair (j = 0.80) misses at 2.2e-4/pair
+  *                 (one-in-~4500 bench runs would drop one of 256 pairs —
+  *                 the bench counts, it does not hash-compare). Doubling
+  *                 back to 128/32 squares the per-pair miss for 2x the
+  *                 signature cost — the candidate stage scales linearly in H
+  *                 (measured 3.2s @128 vs 1.35s @64 at sf0.1). Callers
+  *                 should persist `sets` — the signature and verify stages
+  *                 each walk it.
   *  - simhash:     64-bit token-hash sign-aggregate; near-dups via 4x16-bit
   *                 band pigeonhole (hamming<=3 guarantees a shared band).
   *  - embedding:   cosine near-dup over double-cast vectors; sequential
@@ -240,7 +248,7 @@ object Dedup {
     * re-runs the whole signature/banding chain each time. Skipped degenerate
     * buckets are counted in the named accumulator
     * "graft.minhash.skipped_buckets" (no silent caps). */
-  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 128, bands: Int = 32,
+  def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 64, bands: Int = 16,
                  maxBucket: Int = 4096): DataFrame = {
     val acc = sets.sparkSession.sparkContext
       .longAccumulator("graft.minhash.skipped_buckets")
