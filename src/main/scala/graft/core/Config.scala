@@ -42,6 +42,15 @@ final case class GraftConfig(
     blockMaxDf: Long = 1000L,
     // salting replication factor for hot blocking keys
     saltBuckets: Int = 8,
+    // candidate-JOIN fan-out ceiling: blocking keys shared by more than this
+    // many ENTITIES are dropped from the mention-entity equi-join (each such
+    // key contributes |mentions with key| x df pairs while carrying little
+    // selectivity; recall for its members is held by their rarer keys —
+    // full surfaces, rare grams/tokens, LSH buckets). Channel-agnostic,
+    // accumulator-accounted, and a no-op below 256-entity key collisions —
+    // i.e. invisible to the small-dictionary fixtures; the mega-dictionary
+    // P/R referee (app.MegaDictBench) measures its actual recall effect.
+    blockJoinMaxDf: Long = 256L,
     // decision-tier switch: dictionaries up to this many entities are scored
     // by the exact broadcast sweep (map-only over mentions — no candidate
     // shuffle, no hot keys, bit-exact vs the brute-force oracle; per-mention

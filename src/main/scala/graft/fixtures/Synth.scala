@@ -110,6 +110,47 @@ object Synth {
     base ++ dupes
   }
 
+  /** Deterministic BEYOND-BROADCAST dictionary (tens of thousands of
+    * entities) for exercising the blocked decide tier where it engages
+    * naturally rather than forced. Separate generator (own seed, own id
+    * namespace) so the existing small-dictionary fixtures — and every golden
+    * oracle derived from them — keep their byte-identical draw sequence.
+    * Names get an index-derived suffix token so the surface space stays
+    * mostly unique at any n (the 26-part vocabulary alone saturates at ~700
+    * names); abbreviation aliases still collide realistically (tens of
+    * entities per alias), which is the ambiguity the scorer exists to
+    * resolve. Every 40th entity gets an edit-distance-1 near-duplicate so
+    * same_as canonicalization runs at scale. */
+  def megaDictionary(n: Int, seed: Long = 43L): Seq[EntityRecord] = {
+    val rnd = new Random(seed)
+    val base = (0 until n).map { i =>
+      val t = types(i % types.size)
+      val root = mkName(rnd, 1 + rnd.nextInt(2))
+      val name = s"$root ${cap(nameParts((i / 7) % nameParts.size))}${i % 997}"
+      val aliases = {
+        val a = scala.collection.mutable.ArrayBuffer[String]()
+        if (rnd.nextBoolean()) a += abbrev(name)
+        if (rnd.nextBoolean()) a += name.toLowerCase
+        a.toSeq
+      }
+      // real entity definitions carry rare domain terms; two low-df marker
+      // tokens (families of ~n/1009 and ~n/2003 entities) keep the ctx
+      // blocking channel selective at any dictionary size — without them the
+      // 30-word defn vocabulary saturates every token past the df cap
+      val defn = sentence(rnd, defnVocab, 8 + rnd.nextInt(8)) +
+        s" mk${i % 1009} rk${i % 2003}"
+      EntityRecord(f"m${t}_$i%06d", name, Some(t), aliases, Some(defn), Map.empty,
+        Some("synth-mega"), Some(Timestamp.valueOf("2024-01-01 10:00:00")))
+    }
+    val dupes = base.zipWithIndex.collect {
+      case (e, i) if i % 40 == 0 =>
+        EntityRecord(s"dup_${e.id}", editOne(rnd, e.name), e.entity_type, e.aliases.take(1),
+          e.definition.map(_ + " " + sentence(rnd, defnVocab, 3)), e.attributes,
+          Some("synth-mega-dup"), e.create_time)
+    }
+    base ++ dupes
+  }
+
   /** All mentionable surfaces of an entity (name + aliases). */
   def surfaces(e: EntityRecord): Seq[String] = e.name +: e.aliases
 

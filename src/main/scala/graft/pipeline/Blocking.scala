@@ -118,9 +118,22 @@ object Blocking {
   def candidatePairs(
       spark: SparkSession,
       mentionB: DataFrame,
-      entityB: DataFrame,
+      entityB0: DataFrame,
       cfg: GraftConfig,
       hotKeys: Set[String]): DataFrame = {
+    // entity-side join fan-out cap (cfg.blockJoinMaxDf): a key shared by
+    // hundreds+ of entities turns the equi-join quadratic-shaped
+    // (|mentions with key| x df pairs) for near-zero selectivity; dropped
+    // keys are counted in "graft.blocking.skipped_join_keys" (no silent
+    // caps) and the recall effect is measured by the mega-dict P/R referee
+    val skipped = spark.sparkContext
+      .longAccumulator("graft.blocking.skipped_join_keys")
+    val keyDf = entityB0.groupBy("key").agg(count(lit(1)).as("kdf"))
+    val keepKey = udf((kdf: Long) => {
+      if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else true
+    })
+    val entityB = entityB0.join(keyDf, "key").filter(keepKey(col("kdf")))
+      .select(entityB0.columns.map(col): _*)
     if (hotKeys.isEmpty) {
       mentionB.join(entityB, "key").select("mention_id", "id").distinct()
     } else {

