@@ -95,7 +95,10 @@ object Bench {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
       val (nEx, tEx) = t1(graft.operators.Dedup.jaccardPairs(bsets, 0.6).count())
-      val (nLsh, tLsh) = t1(graft.operators.Dedup.minhashLsh(bsets, 0.6, 64, 16).count())
+      var lshCand: Option[org.apache.spark.sql.DataFrame] = None
+      val (nLsh, tLsh) = t1(graft.operators.Dedup
+        .minhashLsh(bsets, 0.6, 64, 16, onCache = c => lshCand = Some(c)).count())
+      lshCand.foreach(_.unpersist(false))
       bsets.unpersist(false)
       heavyJson = f"""{"set_rows":$nBoiler,"exhaustive_sec":$tEx%.3f,"lsh_sec":$tLsh%.3f,"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${tEx / tLsh}%.3f,"equal":${nEx == nLsh}}"""
     } catch { case e: Throwable =>
@@ -158,10 +161,14 @@ object Bench {
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             System.err.println(
               s"[bench] scaling local[$c] run $i attempt $attempt FAILED: $msg")
-            // only a run whose retry ALSO failed is an error; a recovered
-            // flake is recorded separately so it never reads as a broken query
-            (if (attempt == 2) errors else retries)(
-              s"scaling_local_${c}_run${i}_attempt$attempt") = msg
+            // contract: `retries` holds RECOVERED flakes only. A run whose
+            // retry also fails is a hard error — both attempts move to
+            // `errors` so n_retries never counts an unrecovered run
+            if (attempt == 2) {
+              errors(s"scaling_local_${c}_run${i}_attempt1") =
+                retries.remove(s"scaling_local_${c}_run${i}_attempt1").getOrElse("?")
+              errors(s"scaling_local_${c}_run${i}_attempt2") = msg
+            } else retries(s"scaling_local_${c}_run${i}_attempt1") = msg
             None
           }
         }.collectFirst { case Some(tps) => tps }

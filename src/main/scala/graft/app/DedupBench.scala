@@ -46,7 +46,10 @@ object DedupBench {
       val nDocs = corpus.count()
       val nSets = sets.count() // materialize before timing
       val (nEx, tEx) = time(Dedup.jaccardPairs(sets, 0.6).count())
-      val (nLsh, tLsh) = time(Dedup.minhashLsh(sets, 0.6, numHashes, bands).count())
+      var cand: Option[DataFrame] = None
+      val (nLsh, tLsh) =
+        time(Dedup.minhashLsh(sets, 0.6, numHashes, bands, onCache = c => cand = Some(c)).count())
+      cand.foreach(_.unpersist(false))
       println(f"$label: docs=$nDocs setRows=$nSets maxDf=$maxDf h=$numHashes/b=$bands " +
         f"exhaustive=${tEx}%.2fs ($nEx pairs) lsh=${tLsh}%.2fs ($nLsh pairs) " +
         f"speedup=${tEx / tLsh}%.2fx equal=${nEx == nLsh}")

@@ -16,9 +16,9 @@ import graft.pipeline.{KgPipeline, TranscriptSource}
   *
   * This answers the question the small-dictionary benches can't: does
   * blocking recall hold when the dictionary is 1000x the fixture — where the
-  * type channel drops out entirely (7 types x ~9k members each >
-  * typeBlockMaxEntities), alias surfaces collide tens-deep, and the lex df
-  * cap actually bites?
+  * type channel is join-capped out (7 types x thousands of members each >
+  * blockJoinMaxDf, the effective type ceiling), alias surfaces collide
+  * tens-deep, and the lex/join df caps actually bite?
   *
   * Usage: runMain graft.app.MegaDictBench [cores] [nConv] [nDictBase]
   */

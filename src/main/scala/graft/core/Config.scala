@@ -46,10 +46,20 @@ final case class GraftConfig(
     // many ENTITIES are dropped from the mention-entity equi-join (each such
     // key contributes |mentions with key| x df pairs while carrying little
     // selectivity; recall for its members is held by their rarer keys —
-    // full surfaces, rare grams/tokens, LSH buckets). Channel-agnostic,
-    // accumulator-accounted, and a no-op below 256-entity key collisions —
-    // i.e. invisible to the small-dictionary fixtures; the mega-dictionary
-    // P/R referee (app.MegaDictBench) measures its actual recall effect.
+    // full surfaces, rare grams/tokens, LSH buckets). Channel-AGNOSTIC and
+    // accumulator-accounted, which means two documented consequences above
+    // this df: (a) type keys for types with blockJoinMaxDf+1 ..
+    // typeBlockMaxEntities members are indexed but never joined — the
+    // effective type-channel ceiling is min(typeBlockMaxEntities,
+    // blockJoinMaxDf), the reference's score-every-same-type-entity branch
+    // being exactly the quadratic the blocked tier must bound; (b) the
+    // full-surface exact-recall guarantee is scoped to surfaces shared by
+    // <= blockJoinMaxDf entities (beyond that, name identity carries no
+    // selectivity and disambiguation rests on ctx/LSH keys anyway). A no-op
+    // below 256-entity collisions, i.e. invisible to the small-dictionary
+    // fixtures; the same ceiling bounds the dictionary self-dedup join
+    // (Scorer.entityDupEdges). The mega-dictionary P/R referee
+    // (app.MegaDictBench) measures the actual recall effect.
     blockJoinMaxDf: Long = 256L,
     // decision-tier switch: dictionaries up to this many entities are scored
     // by the exact broadcast sweep (map-only over mentions — no candidate
@@ -59,8 +69,11 @@ final case class GraftConfig(
     // recall-gated scale path.
     broadcastSweepMaxDict: Long = 10000L,
     // type blocking channel (reference type branch, disambiguation.py:175-197):
-    // types with more entities than this cap fall back to the LSH channel
-    // (a million-entity type would make the type key a quadratic hot key)
+    // types with more entities than this cap are dropped from the blocking
+    // INDEX (a million-entity type would make the type key a quadratic hot
+    // key). NOTE the JOIN additionally enforces blockJoinMaxDf, so the
+    // effective type-channel ceiling is min(typeBlockMaxEntities,
+    // blockJoinMaxDf) — raise both to widen the type branch.
     typeBlockMaxEntities: Long = 10000L,
     // embedding sign-LSH blocking channel (the FAISS-retrieval analog):
     // tables x bits sign-hyperplane buckets over the embedding column

@@ -21,9 +21,12 @@ object MentionDetector {
     * the scan was O(collisions) per position, which at a mega dictionary
     * (thousands of surfaces sharing a root name token) made detection
     * O(|dict|)-ish per turn (measured 16ms/turn at 30k entities; now
-    * micro-seconds). Longest-match semantics are identical: surfaces are
-    * unique per token sequence, so the first hit in length-descending order
-    * IS the longest whole-token match. */
+    * micro-seconds). Longest-match semantics are identical: lookup goes in
+    * length-descending order so the first hit IS the longest whole-token
+    * match, and when DISTINCT surface strings share one token sequence
+    * (e.g. whitespace variants) the bucket keeps the first in
+    * sorted-by-lowercased-surface order — the same entry the old
+    * first-equal-length-match scan returned. */
   final case class SurfaceIndex(
       byFirstToken: Map[String, Array[LengthBucket]]) extends Serializable
 
@@ -51,7 +54,14 @@ object MentionDetector {
     val byFirst = indexed.groupBy(_._1.head).map { case (first, ss) =>
       val buckets = ss.groupBy(_._1.length).toArray.sortBy(-_._1).map {
         case (n, group) =>
-          LengthBucket(n, group.map { case (toks, s) => toks.mkString(" ") -> s }.toMap)
+          // first-wins on token-sequence collisions: `indexed` is sorted by
+          // lowercased surface, matching the old scan's tie-break
+          val m = group.foldLeft(Map.empty[String, IndexedSurface]) {
+            case (acc, (toks, s)) =>
+              val k = toks.mkString(" ")
+              if (acc.contains(k)) acc else acc.updated(k, s)
+          }
+          LengthBucket(n, m)
       }
       first -> buckets
     }

@@ -62,12 +62,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => LevRatioExpr(asString(args(0)), asString(args(1)))),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotExpr(args(0), args(1))))
+      (args: Seq[Expression]) => DotExpr(asDoubleArray(args(0)), asDoubleArray(args(1)))))
 
   // implicit input cast at build time (the ImplicitCastInputTypes trait's
   // signature is private[sql], so the coercion happens in the builder)
   private def asString(e: Expression): Expression =
     if (e.dataType == StringType) e else Cast(e, StringType)
+
+  // coerce e.g. the engine's native array<float> embedding columns, mirroring
+  // the implicit input cast of the built-in higher-order spelling
+  private def asDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case _ => Cast(e, ArrayType(DoubleType))
+  }
 
   /** Register on a live session (tests / REPL). */
   def register(spark: SparkSession): Unit =

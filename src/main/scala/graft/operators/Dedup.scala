@@ -123,17 +123,6 @@ object Dedup {
     sig
   }
 
-  /** Identical signature computed from pre-hashed (h1, h2) shingle lanes. */
-  def minhashSigFromHashes(hs: Seq[(Long, Long)], numHashes: Int): Array[Long] = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val it = hs.iterator
-    while (it.hasNext) {
-      val (h1, h2) = it.next()
-      foldLanes(sig, h1, h2)
-    }
-    sig
-  }
-
   private[operators] def foldLanes(sig: Array[Long], h1: Long, h2: Long): Unit = {
     var h = h1
     var i = 0
@@ -245,15 +234,20 @@ object Dedup {
     * exhaustive join wherever band recall is 1 (see class doc). The
     * candidate frame is persisted — the verify step reads it three times
     * (doc-id prune twice, intersection join once), and recomputing it
-    * re-runs the whole signature/banding chain each time. Skipped degenerate
+    * re-runs the whole signature/banding chain each time. The persisted
+    * frame is handed to `onCache` so owners can unpersist it once the
+    * result is materialized (Bench/DedupBench do; one bucket-scale frame
+    * per call otherwise stays cached for the session). Skipped degenerate
     * buckets are counted in the named accumulator
     * "graft.minhash.skipped_buckets" (no silent caps). */
   def minhashLsh(sets: DataFrame, tau: Double, numHashes: Int = 64, bands: Int = 16,
-                 maxBucket: Int = 4096): DataFrame = {
+                 maxBucket: Int = 4096,
+                 onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val acc = sets.sparkSession.sparkContext
       .longAccumulator("graft.minhash.skipped_buckets")
-    jaccardForPairs(
-      sets, minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist(), tau)
+    val cand = minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist()
+    onCache(cand)
+    jaccardForPairs(sets, cand, tau)
   }
 
   /** Heavy-duplication corpus variant: every doc with id % `every` == 0 is

@@ -124,15 +124,22 @@ object Blocking {
     // entity-side join fan-out cap (cfg.blockJoinMaxDf): a key shared by
     // hundreds+ of entities turns the equi-join quadratic-shaped
     // (|mentions with key| x df pairs) for near-zero selectivity; dropped
-    // keys are counted in "graft.blocking.skipped_join_keys" (no silent
-    // caps) and the recall effect is measured by the mega-dict P/R referee
+    // keys are counted ONCE PER KEY in "graft.blocking.skipped_join_keys"
+    // (no silent caps; the UDF runs on the key-level aggregate, so the
+    // count is keys — stage retries can still re-add, the standard Spark
+    // accumulator-in-transformation caveat). The cap applies to every
+    // channel, including type keys below cfg.typeBlockMaxEntities and
+    // full-surface keys above blockJoinMaxDf collisions — see the knob docs
+    // in GraftConfig; the recall effect is measured by the mega-dict P/R
+    // referee (0.998-1.0 precision, >= 0.99998 recall at 15k-102k entities).
     val skipped = spark.sparkContext
       .longAccumulator("graft.blocking.skipped_join_keys")
-    val keyDf = entityB0.groupBy("key").agg(count(lit(1)).as("kdf"))
     val keepKey = udf((kdf: Long) => {
       if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else true
     })
-    val entityB = entityB0.join(keyDf, "key").filter(keepKey(col("kdf")))
+    val keptKeys = entityB0.groupBy("key").agg(count(lit(1)).as("kdf"))
+      .filter(keepKey(col("kdf"))).select("key")
+    val entityB = entityB0.join(keptKeys, "key")
       .select(entityB0.columns.map(col): _*)
     if (hotKeys.isEmpty) {
       mentionB.join(entityB, "key").select("mention_id", "id").distinct()

@@ -380,26 +380,27 @@ object Scorer {
     * low-cosine pairs, and this bound is what keeps the components stage
     * from being the pipeline's top cost (measured 34s -> sub-second wall at
     * a 15k-entity dictionary). Exact: bound >= final always. */
-  def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig,
-                     maxKeyDf: Long = 256L): DataFrame = {
-    // Per-key df cap on the SELF-join: a key shared by hundreds of entities
-    // contributes df^2/2 pairs while carrying almost no signal (a same_as
-    // pair at HIGH needs either name similarity — held by its rarer
-    // surface/n-gram keys — or near-identical scoring text, held by its
-    // rarer ctx tokens / LSH buckets). Without the cap the self-join is
-    // Sigma(df^2) over hot keys, which is the quadratic shape the 100TB
-    // design forbids; skipped keys are counted in the named accumulator
-    // "graft.dupedges.skipped_keys" (no silent caps) and the blocked tier's
-    // triple P/R referee (app.MegaDictBench) measures the actual recall
-    // effect — 1.0000/1.0000 at a 15k-entity dictionary.
+  def entityDupEdges(entityB: DataFrame, entities: DataFrame, cfg: GraftConfig): DataFrame = {
+    // Per-key df cap on the SELF-join (cfg.blockJoinMaxDf — the same ceiling
+    // the mention-entity join enforces, so one knob governs both): a key
+    // shared by hundreds of entities contributes df^2/2 pairs while carrying
+    // almost no signal (a same_as pair at HIGH needs either name similarity —
+    // held by its rarer surface/n-gram keys — or near-identical scoring
+    // text, held by its rarer ctx tokens / LSH buckets). Without the cap the
+    // self-join is Sigma(df^2) over hot keys, the quadratic shape the 100TB
+    // design forbids; skipped keys are counted ONCE PER KEY in the named
+    // accumulator "graft.dupedges.skipped_keys" (no silent caps; standard
+    // caveat: stage retries re-add) and the blocked tier's triple P/R
+    // referee (app.MegaDictBench) measures the actual recall effect —
+    // 1.0000/1.0000 at a 15k-entity dictionary.
     val skipped = entityB.sparkSession.sparkContext
       .longAccumulator("graft.dupedges.skipped_keys")
-    val keyDf = entityB.groupBy("key").agg(count(lit(1)).as("kdf"))
     val keepKey = udf((kdf: Long) => {
-      if (kdf > maxKeyDf) { skipped.add(1L); false } else kdf > 1
+      if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else kdf > 1
     })
-    val selective = entityB.join(keyDf, "key").filter(keepKey(col("kdf")))
-      .select("key", "id")
+    val keptKeys = entityB.groupBy("key").agg(count(lit(1)).as("kdf"))
+      .filter(keepKey(col("kdf"))).select("key")
+    val selective = entityB.join(keptKeys, "key").select("key", "id")
     val a = selective.select(col("key"), col("id").as("src"))
     val b = selective.select(col("key"), col("id").as("dst"))
     val pairs = a.join(b, "key").filter(col("src") < col("dst"))

@@ -74,6 +74,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) == exp)
       assert(r.isNullAt(2))
     }
+    // the SQL builder coerces array<float> (the engine's native embedding
+    // type) like the built-in higher-order spelling would
+    val f = spark.sql(
+      "SELECT graft_dot(CAST(ARRAY(1.5, 2.5) AS ARRAY<FLOAT>), CAST(ARRAY(2.0, 4.0) AS ARRAY<FLOAT>))")
+      .head().getDouble(0)
+    assert(f == 13.0)
   }
 
   test("usable inside ordinary Column pipelines via expr()") {
