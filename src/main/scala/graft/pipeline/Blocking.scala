@@ -120,7 +120,8 @@ object Blocking {
       mentionB: DataFrame,
       entityB0: DataFrame,
       cfg: GraftConfig,
-      hotKeys: Set[String]): DataFrame = {
+      hotKeys: Set[String],
+      skippedKeys: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     // entity-side join fan-out cap (cfg.blockJoinMaxDf): a key shared by
     // hundreds+ of entities turns the equi-join quadratic-shaped
     // (|mentions with key| x df pairs) for near-zero selectivity; dropped
@@ -132,8 +133,8 @@ object Blocking {
     // full-surface keys above blockJoinMaxDf collisions — see the knob docs
     // in GraftConfig; the recall effect is measured by the mega-dict P/R
     // referee (0.998-1.0 precision, >= 0.99998 recall at 15k-102k entities).
-    val skipped = spark.sparkContext
-      .longAccumulator("graft.blocking.skipped_join_keys")
+    val skipped = skippedKeys.getOrElse(
+      spark.sparkContext.longAccumulator("graft.blocking.skipped_join_keys"))
     val keepKey = udf((kdf: Long) => {
       if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else true
     })

@@ -77,4 +77,24 @@ class BlockingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("blockJoinMaxDf drops over-cap keys from the join and counts KEYS, not rows") {
+    import spark.implicits._
+    val cap = cfg.copy(blockJoinMaxDf = 5L)
+    // fabricated index frames: key "hot" is shared by 8 entities (> cap 5),
+    // key "rare" by 2; the mention blocks carry both keys
+    val eB = (1 to 8).map(i => ("hot", s"e$i", "lex")) ++
+      Seq(("rare", "e1", "lex"), ("rare", "e2", "lex"))
+    val mB = Seq(("hot", "m1", "lex"), ("rare", "m1", "lex"), ("rare", "m2", "lex"))
+    val entityB = eB.toDF("key", "id", "channel")
+    val mentionB = mB.toDF("key", "mention_id", "channel")
+    val acc = spark.sparkContext.longAccumulator("test.skipped_join_keys")
+    val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cap, Set.empty, Some(acc))
+      .as[(String, String)].collect().toSet
+    assert(pairs == Set(("m1", "e1"), ("m1", "e2"), ("m2", "e1"), ("m2", "e2")),
+      s"over-cap key leaked into the join: $pairs")
+    // ONE dropped key (not its 8 rows): the keep/skip UDF runs on the
+    // key-level aggregate
+    assert(acc.value == 1L, s"skipped-key accumulator counted ${acc.value}")
+  }
 }
