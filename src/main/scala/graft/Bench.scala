@@ -86,24 +86,30 @@ object Bench {
     // df the exhaustive join's per-shingle pair blowup is quadratic in the
     // family size while LSH signatures stay linear in set rows
     var heavyJson = "{}"
+    // cleanup in finally: a failure mid-measurement must not leave the
+    // boilerplate shingle sets / LSH candidates cached through the scaling
+    // section that follows in this session
+    var bsets: Option[org.apache.spark.sql.DataFrame] = None
+    var lshCand: Option[org.apache.spark.sql.DataFrame] = None
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val boiler = graft.operators.Dedup.cloneBoilerplate(docs, copies = 399, every = 20)
-      val bsets = graft.operators.Dedup.shingleSets(boiler, 3, 450L).persist()
-      val nBoiler = bsets.count() // materialize outside the timers
+      val bs = graft.operators.Dedup.shingleSets(boiler, 3, 450L).persist()
+      bsets = Some(bs)
+      val nBoiler = bs.count() // materialize outside the timers
       def t1[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
-      val (nEx, tEx) = t1(graft.operators.Dedup.jaccardPairs(bsets, 0.6).count())
-      var lshCand: Option[org.apache.spark.sql.DataFrame] = None
+      val (nEx, tEx) = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
       val (nLsh, tLsh) = t1(graft.operators.Dedup
-        .minhashLsh(bsets, 0.6, 64, 16, onCache = c => lshCand = Some(c)).count())
-      lshCand.foreach(_.unpersist(false))
-      bsets.unpersist(false)
+        .minhashLsh(bs, 0.6, 64, 16, onCache = c => lshCand = Some(c)).count())
       heavyJson = f"""{"set_rows":$nBoiler,"exhaustive_sec":$tEx%.3f,"lsh_sec":$tLsh%.3f,"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${tEx / tLsh}%.3f,"equal":${nEx == nLsh}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup_heavy FAILED: ${e.getMessage}")
       errors("dedup_heavy") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    } finally {
+      lshCand.foreach(_.unpersist(false))
+      bsets.foreach(_.unpersist(false))
     }
 
     // scaling corpus: parquet-fed, >= 1.6M turns (see scaladoc); generated

@@ -100,6 +100,22 @@ object SparkEntry {
     setsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ =>
       Dedup.shingleSets(tbl(s, dir, "documents"), n = 3, maxDf = 50L).persist())
 
+  /** MinHash-LSH verified pairs, memoized per (session, dir): the result is
+    * materialized eagerly so the operator's internal persisted candidate
+    * frame can be released immediately (otherwise one bucket-scale frame per
+    * call stays cached for the session — the leak the onCache hook exists
+    * to close); repeat queries then read the tiny persisted pair frame. */
+  private val lshPairsCache = new ConcurrentHashMap[String, DataFrame]()
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
+      var cand: Option[DataFrame] = None
+      val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6,
+        onCache = c => cand = Some(c)).persist()
+      out.count()
+      cand.foreach(_.unpersist(false))
+      out
+    })
+
   /** Prepped embeddings (double cast + l2 norm) are memoized per
     * (session, dir) and persisted, same treatment as shingleSets: four
     * ann/dedup queries otherwise rescan and re-norm the embeddings table
@@ -333,7 +349,7 @@ object SparkEntry {
     // ---- dedup family
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsPlusExactCopies(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.jaccardPairs(shingleSets(s, dir), 0.6)),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(shingleSets(s, dir), 0.6)),
+    "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
     // signatures over the corpus-plus-exact-copies so near-dup pairs exist;
     // the pairs query below re-derives candidates from these very signatures
     "dedup_simhash" -> ((s, dir) =>

@@ -24,7 +24,10 @@ object LshProbe {
       cand.unpersist(true)
     }
     t("jaccardPairs (exhaustive)")(Dedup.jaccardPairs(sets, 0.6).count())
-    t("minhashLsh default warm")(Dedup.minhashLsh(sets, 0.6).count())
+    var cand: Option[org.apache.spark.sql.DataFrame] = None
+    t("minhashLsh default warm")(
+      Dedup.minhashLsh(sets, 0.6, onCache = c => cand = Some(c)).count())
+    cand.foreach(_.unpersist(false))
     spark.stop()
   }
 }

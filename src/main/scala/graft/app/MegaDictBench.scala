@@ -1,18 +1,15 @@
 package graft.app
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.GraftConfig
 import graft.fixtures.Synth
-import graft.pipeline.{KgPipeline, TranscriptSource}
+import graft.pipeline.{KgPipeline, Scorer, TranscriptSource}
 
 /** The beyond-broadcast tier, engaged NATURALLY: a dictionary far above
   * `broadcastSweepMaxDict` (default 10k) runs the blocked candidate join the
   * way a 100 TB deployment would — no GRAFT_SWEEP_MAX forcing — and is
-  * refereed on the SAME input by the exact broadcast sweep (which is
-  * spec-pinned bit-exact vs the brute-force oracle), raising the sweep cap
-  * for the referee run only. Output: one JSON line with both walls,
-  * throughputs, and the blocked tier's triple-level P/R vs exact.
+  * refereed on the SAME input by stronger retrieval schemes.
   *
   * This answers the question the small-dictionary benches can't: does
   * blocking recall hold when the dictionary is 1000x the fixture — where the
@@ -20,20 +17,77 @@ import graft.pipeline.{KgPipeline, TranscriptSource}
   * blockJoinMaxDf, the effective type ceiling), alias surfaces collide
   * tens-deep, and the lex/join df caps actually bite?
   *
-  * Referee modes (4th arg): `full` (default) re-runs the whole pipeline
-  * under the exact sweep and compares triple sets; `sample` runs the exact
-  * sweep on a 5% mention sample only and reports decision-level agreement —
-  * the affordable check at dictionaries where a full sweep referee run
-  * would dwarf the measured tier.
+  * Referee modes (4th arg — anything else fails fast):
+  *  - `full` (default): re-run the whole pipeline under the exact sweep and
+  *    compare triple sets (P/R).
+  *  - `sample`: exact sweep on a deterministic 5% mention sample, decision
+  *    agreement vs the blocked run — affordable when a full referee run
+  *    would dwarf the measured tier.
+  *  - `reference`: the reference's own retrieval semantics (exact embedding
+  *    top-k + type branch, then best-by-final — auto_decide,
+  *    disambiguation.py:146-149) on the sample, vs the blocked run. The
+  *    exact sweep is a strictly STRONGER oracle (it maximizes the combined
+  *    score over every entity; the reference only scores its retrieval
+  *    set), so sweep agreement understates reference parity.
+  *  - `triangle`: no pipeline run — the two ORACLES against each other on
+  *    the sample. Calibrates the other modes: when the oracles disagree at
+  *    rate x, a blocked-tier agreement near x is the corpus' near-threshold
+  *    noise floor, not a retrieval defect.
   *
-  * Usage: runMain graft.app.MegaDictBench [cores] [nConv] [nDictBase] [full|sample]
+  * Usage: runMain graft.app.MegaDictBench [cores] [nConv] [nDictBase] [full|sample|reference|triangle]
   */
 object MegaDictBench {
+
+  /** Deterministic 5% mention sample, prepared for the scorer; persisted —
+    * caller unpersists. */
+  private def samplePrep(mentionsDf: DataFrame, cfg: GraftConfig): DataFrame =
+    Scorer.prepareMentions(mentionsDf, cfg)
+      .select(Scorer.mentionPrepCols.map(col): _*)
+      .filter(pmod(xxhash64(col("mention_id")), lit(20)) === 0)
+      .persist()
+
+  /** Reference-faithful decisions over prepared mentions: matchCandidates
+    * retrieval (shared core) via topKBroadcast, best by (final desc, rank
+    * asc) — the reference's stable sort keeps merge order on ties — then
+    * the threshold projection. */
+  private def referenceDecisions(
+      spark: SparkSession, prep: DataFrame,
+      dict: Seq[graft.model.EntityRecord], cfg: GraftConfig): DataFrame = {
+    val dictSides = graft.core.Candidates.prep(dict, cfg)
+    val topk = Scorer.topKBroadcast(spark, prep, dictSides, cfg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("mention_id").orderBy(col("final_score").desc, col("rank").asc)
+    val refBest = topk.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(prep.select("mention_id", "surface"), "mention_id")
+      .select(col("mention_id"), col("surface"),
+        col("entity_id").as("best_id"), col("final_score"))
+    // decideFromBest's pass-through columns, zero-filled: only decision /
+    // resolved_id are consumed by the referees
+    Scorer.decideFromBest(
+      refBest.withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
+        .withColumn("offset", lit(0))
+        .withColumn("bge_score", lit(0.0)).withColumn("cross_encoder_score", lit(0.0))
+        .withColumn("fuzz_score", lit(0.0)).withColumn("levenshtein_score", lit(0.0)),
+      cfg)
+  }
+
+  /** (n, agreeing) over (decision, resolved_id) per mention_id. */
+  private def agreement(a: DataFrame, b: DataFrame): (Long, Long) = {
+    val joined = a.toDF("mention_id", "d_a", "r_a")
+      .join(b.toDF("mention_id", "d_b", "r_b"), "mention_id")
+      .select((col("d_a") === col("d_b") && (col("r_a") <=> col("r_b")))
+        .cast("long").as("agree"))
+      .agg(count(lit(1)).as("n"), sum(col("agree")).as("ok")).head()
+    (joined.getLong(0), joined.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args.lift(0).map(_.toInt).getOrElse(32)
     val nConv = args.lift(1).map(_.toInt).getOrElse(10000)
     val nDict = args.lift(2).map(_.toInt).getOrElse(30000)
     val referee = args.lift(3).getOrElse("full")
+    require(Set("full", "sample", "reference", "triangle")(referee),
+      s"unknown referee mode '$referee' (full|sample|reference|triangle)")
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -89,44 +143,17 @@ object MegaDictBench {
     require(dict.size > baseCfg.broadcastSweepMaxDict,
       s"dictionary ${dict.size} does not exceed the sweep cap — not a mega-dict run")
 
-    // mode "triangle": no pipeline run at all — decide a 5% mention sample
-    // under BOTH referees (exact sweep and reference-faithful retrieval) and
-    // report their mutual agreement. This calibrates the other modes: when
-    // the two ORACLES disagree at rate x, a blocked-tier agreement of ~x is
-    // the corpus' near-threshold noise floor, not a retrieval defect.
     if (referee == "triangle") {
-      val cfg = GraftConfig.default
-      val entities = graft.pipeline.EntityStore.prepare(spark, dict, cfg)
+      val entities = graft.pipeline.EntityStore.prepare(spark, dict, baseCfg)
       val mentions = graft.pipeline.MentionStage.detect(spark, turns, dict).toDF()
-      val prep = graft.pipeline.Scorer.prepareMentions(mentions, cfg)
-        .select(graft.pipeline.Scorer.mentionPrepCols.map(col): _*)
-        .filter(pmod(xxhash64(col("mention_id")), lit(20)) === 0)
-        .persist()
-      val sweep = graft.pipeline.Scorer.decideBest(spark, prep, None, entities, cfg)
-        .select(col("mention_id"), col("decision").as("d_sweep"),
-          col("resolved_id").as("r_sweep"))
-      val dictSides = graft.core.Candidates.prep(dict, cfg)
-      val topk = graft.pipeline.Scorer.topKBroadcast(spark, prep, dictSides, cfg)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("mention_id").orderBy(col("final_score").desc, col("rank").asc)
-      val refBest = topk.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .join(prep.select("mention_id", "surface"), "mention_id")
-        .select(col("mention_id"), col("surface"),
-          col("entity_id").as("best_id"), col("final_score"))
-      val refDec = graft.pipeline.Scorer.decideFromBest(
-          refBest.withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
-            .withColumn("offset", lit(0))
-            .withColumn("bge_score", lit(0.0)).withColumn("cross_encoder_score", lit(0.0))
-            .withColumn("fuzz_score", lit(0.0)).withColumn("levenshtein_score", lit(0.0)),
-          cfg)
-        .select(col("mention_id"), col("decision").as("d_ref"),
-          col("resolved_id").as("r_ref"))
-      val joined = sweep.join(refDec, "mention_id")
-        .select((col("d_sweep") === col("d_ref") &&
-            (col("r_sweep") <=> col("r_ref"))).cast("long").as("agree"))
-        .agg(count(lit(1)).as("n"), sum(col("agree")).as("ok")).head()
+      val prep = samplePrep(mentions, baseCfg)
+      val sweep = Scorer.decideBest(spark, prep, None, entities, baseCfg)
+        .select(col("mention_id"), col("decision"), col("resolved_id"))
+      val ref = referenceDecisions(spark, prep, dict, baseCfg)
+        .select(col("mention_id"), col("decision"), col("resolved_id"))
+      val (n, ok) = agreement(sweep, ref)
       prep.unpersist(false)
-      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":${joined.getLong(0)},"sweep_vs_reference_agreement":${joined.getLong(1).toDouble / math.max(joined.getLong(0), 1L)}}""")
+      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":$n,"sweep_vs_reference_agreement":${ok.toDouble / math.max(n, 1L)}}""")
       spark.stop()
       return
     }
@@ -138,9 +165,10 @@ object MegaDictBench {
     val refJson = referee match {
       case "full" =>
         outBlocked.release()
-        // referee: exact sweep on the same input (cap raised for this run only)
+        // referee: exact sweep on the same input — baseCfg with only the
+        // sweep cap raised, so the two runs differ in the decide tier alone
         val (nExact, wExact, outExact) =
-          timedRun(GraftConfig.default.copy(broadcastSweepMaxDict = dict.size + 1L), "exact")
+          timedRun(baseCfg.copy(broadcastSweepMaxDict = dict.size + 1L), "exact")
         outExact.release()
         val b = spark.read.parquet(s"/tmp/graft-megadict-$nConv-$nDict/triples-blocked")
           .select("subj", "pred", "obj").distinct()
@@ -150,82 +178,28 @@ object MegaDictBench {
         val p = hits.toDouble / math.max(b.count(), 1L)
         val r = hits.toDouble / math.max(e.count(), 1L)
         f""""exact_sweep":{"triples":$nExact,"wall_sec":$wExact%.2f,"triples_per_sec":${nExact / wExact}%.1f},"triple_precision":$p%.6f,"triple_recall":$r%.6f"""
-      case "sample" =>
-        // exact sweep on a deterministic 5% mention sample, compared against
-        // the blocked run's own decisions by (decision, resolved_id) — the
-        // affordable referee when a full sweep pipeline would dwarf the run
-        val cfg = GraftConfig.default
-        val entities = graft.pipeline.EntityStore.prepare(spark, dict, cfg)
-        val mentions = graft.pipeline.MentionStage.detect(spark, turns, dict).toDF()
-        val prep = graft.pipeline.Scorer.prepareMentions(mentions, cfg)
-          .select(graft.pipeline.Scorer.mentionPrepCols.map(col): _*)
-          .filter(pmod(xxhash64(col("mention_id")), lit(20)) === 0)
+      case mode @ ("sample" | "reference") =>
+        // reuse the blocked run's own (persisted) mentions — no re-detection;
+        // the sample prep is materialized BEFORE the timed referee window
+        val entities = graft.pipeline.EntityStore.prepare(spark, dict, baseCfg)
+        val prep = samplePrep(outBlocked.mentions, baseCfg)
+        prep.count()
         val t0 = System.nanoTime()
-        val sweep = graft.pipeline.Scorer.decideBest(spark, prep, None, entities, cfg)
-          .select(col("mention_id"), col("decision").as("d_sweep"),
-            col("resolved_id").as("r_sweep"))
+        val oracle =
+          if (mode == "sample")
+            Scorer.decideBest(spark, prep, None, entities, baseCfg)
+              .select(col("mention_id"), col("decision"), col("resolved_id"))
+          else
+            referenceDecisions(spark, prep, dict, baseCfg)
+              .select(col("mention_id"), col("decision"), col("resolved_id"))
         val blockedDec = outBlocked.decisions
-          .select(col("mention_id"), col("decision").as("d_blk"),
-            col("resolved_id").as("r_blk"))
-        val joined = sweep.join(blockedDec, "mention_id")
-          .select((col("d_sweep") === col("d_blk") &&
-              (col("r_sweep") <=> col("r_blk"))).cast("long").as("agree"))
-          .agg(count(lit(1)).as("n"), sum(col("agree")).as("ok")).head()
-        val wSample = (System.nanoTime() - t0) / 1e9
-        val n = joined.getLong(0)
-        val ok = joined.getLong(1)
-        outBlocked.release()
-        f""""sample_referee":{"sampled_mentions":$n,"decision_agreement":${ok.toDouble / math.max(n, 1L)}%.6f,"wall_sec":$wSample%.2f}"""
-      case "reference" =>
-        // reference-faithful referee: the reference resolves a record via
-        // match_candidates (EXACT embedding top-k over the whole index +
-        // type branch, then comprehensive scoring) and auto_decide takes the
-        // best candidate by final score (disambiguation.py:146-149). The
-        // exact SWEEP is a strictly stronger oracle (it maximizes the
-        // combined score over every entity; the reference only scores the
-        // retrieval set), so at noise-dominated mega dictionaries
-        // sweep-agreement understates reference parity — this mode measures
-        // the question that matters to a reference user switching engines.
-        val cfg = GraftConfig.default
-        val entities = graft.pipeline.EntityStore.prepare(spark, dict, cfg)
-        val mentions = graft.pipeline.MentionStage.detect(spark, turns, dict).toDF()
-        val prep = graft.pipeline.Scorer.prepareMentions(mentions, cfg)
-          .select(graft.pipeline.Scorer.mentionPrepCols.map(col): _*)
-          .filter(pmod(xxhash64(col("mention_id")), lit(20)) === 0)
-          .persist()
-        val t0 = System.nanoTime()
-        val dictSides = graft.core.Candidates.prep(dict, cfg)
-        val topk = graft.pipeline.Scorer.topKBroadcast(spark, prep, dictSides, cfg)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("mention_id").orderBy(col("final_score").desc, col("rank").asc)
-        val refBest = topk.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .join(prep.select("mention_id", "surface"), "mention_id")
-          .select(col("mention_id"), col("surface"),
-            col("entity_id").as("best_id"), col("final_score"))
-        val refDec = graft.pipeline.Scorer.decideFromBest(
-            refBest.withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
-              .withColumn("offset", lit(0))
-              .withColumn("bge_score", lit(0.0)).withColumn("cross_encoder_score", lit(0.0))
-              .withColumn("fuzz_score", lit(0.0)).withColumn("levenshtein_score", lit(0.0)),
-            cfg)
-          .select(col("mention_id"), col("decision").as("d_ref"),
-            col("resolved_id").as("r_ref"))
-        val blockedDec = outBlocked.decisions
-          .select(col("mention_id"), col("decision").as("d_blk"),
-            col("resolved_id").as("r_blk"))
-        val joined = refDec.join(blockedDec, "mention_id")
-          .select((col("d_ref") === col("d_blk") &&
-              (col("r_ref") <=> col("r_blk"))).cast("long").as("agree"))
-          .agg(count(lit(1)).as("n"), sum(col("agree")).as("ok")).head()
-        val wRef = (System.nanoTime() - t0) / 1e9
+          .select(col("mention_id"), col("decision"), col("resolved_id"))
+        val (n, ok) = agreement(oracle, blockedDec)
+        val wall = (System.nanoTime() - t0) / 1e9
         prep.unpersist(false)
-        val n = joined.getLong(0)
-        val ok = joined.getLong(1)
         outBlocked.release()
-        f""""reference_referee":{"sampled_mentions":$n,"decision_agreement":${ok.toDouble / math.max(n, 1L)}%.6f,"wall_sec":$wRef%.2f}"""
-      case _ =>
-        outBlocked.release()
-        "\"referee\":\"none\""
+        val label = if (mode == "sample") "sample_referee" else "reference_referee"
+        f""""$label":{"sampled_mentions":$n,"decision_agreement":${ok.toDouble / math.max(n, 1L)}%.6f,"wall_sec":$wall%.2f}"""
     }
 
     println(s"""{"bench":"kg_megadict","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,$blockedJson,$refJson}""")
