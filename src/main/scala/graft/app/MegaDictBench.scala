@@ -152,8 +152,20 @@ object MegaDictBench {
       val ref = referenceDecisions(spark, prep, dict, baseCfg)
         .select(col("mention_id"), col("decision"), col("resolved_id"))
       val (n, ok) = agreement(sweep, ref)
+      // disagreement anatomy: counts by (sweep decision -> reference
+      // decision) among disagreeing mentions — near-threshold noise shows
+      // up as ambiguous<->create/merge band flips, retrieval misses as
+      // merge->create with different resolved ids
+      val flips = sweep.toDF("mention_id", "d_a", "r_a")
+        .join(ref.toDF("mention_id", "d_b", "r_b"), "mention_id")
+        .filter(!(col("d_a") === col("d_b") && (col("r_a") <=> col("r_b"))))
+        .groupBy("d_a", "d_b").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc)
+        .collect()
+        .map(r => s""""${r.getString(0)}->${r.getString(1)}":${r.getLong(2)}""")
+        .mkString("{", ",", "}")
       prep.unpersist(false)
-      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":$n,"sweep_vs_reference_agreement":${ok.toDouble / math.max(n, 1L)}}""")
+      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":$n,"sweep_vs_reference_agreement":${ok.toDouble / math.max(n, 1L)},"disagreement_flips":$flips}""")
       spark.stop()
       return
     }
