@@ -89,10 +89,16 @@ object MegaDictBench {
     require(Set("full", "sample", "reference", "triangle")(referee),
       s"unknown referee mode '$referee' (full|sample|reference|triangle)")
 
+    // GRAFT_SHUFFLE_PARTITIONS: partitions default to cores, but at the
+    // memory envelope (corpus x dictionary working set vs the fixed 8g
+    // heap) RAISING them shrinks each task's slice — the knob a real
+    // cluster turns instead of buying bigger executors
+    val shufflePartitions =
+      sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(cores)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-megadict-$nDict")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
