@@ -128,6 +128,7 @@ object Bench {
         graft.pipeline.TranscriptSource.fromSeq(
           spark, graft.fixtures.Synth.transcripts(scaleSpec, dict)), scalePath)
     }
+    SparkEntry.clearSession(spark)
     spark.stop()
 
     // scaling runs in fresh contexts (one JVM, sequential, exclusive);
@@ -196,15 +197,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    // 3-decimal query times: sub-ms precision is noise here, and the full
+    // Double repr doubled the JSON line's size (see the file-dump note below)
+    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val scalingJson = scaling.map { case (c, runs) =>
       f""""local_$c":{"median":${median(runs)}%.1f,"min":${runs.min}%.1f,"max":${runs.max}%.1f,"runs":${runs.size}}"""
     }.mkString("{", ",", "}")
     val total = kgCold + results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}"""
+    println(json)
+    // ALSO dumped to a file: the one-line JSON outgrew the driver's stdout
+    // tail buffer in round 3 (the machine-readable artifact came back
+    // unparsed even though the run was healthy) — the file is the durable
+    // copy, stdout stays the contract
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench-json file dump failed: ${e.getMessage}")
+    }
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
   }
 }

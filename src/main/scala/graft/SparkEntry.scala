@@ -77,6 +77,27 @@ object SparkEntry {
   private[graft] def clearKg(spark: SparkSession, sfDir: String): Unit =
     Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach(_.release())
 
+  /** Evict EVERY per-session memo for `spark` — kg runs plus the operator
+    * caches (shingle sets, minhash pairs, prepped embeddings, probes, IVF
+    * index) — unpersisting what they cached. Long-lived drivers that cycle
+    * sessions must call this before stopping one, or the maps accumulate
+    * DataFrame references bound to dead SparkContexts (the caches key on
+    * session hashCode and are never hit again after the session stops). */
+  private[graft] def clearSession(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfx = "@" + spark.hashCode()
+    kgCache.keySet.asScala.filter(_.endsWith(sfx)).toSeq
+      .foreach(k => Option(kgCache.remove(k)).foreach(_.release()))
+    writtenTriples.keySet.asScala.filter(_.endsWith(sfx)).toSeq
+      .foreach(writtenTriples.remove)
+    Seq(setsCache, lshPairsCache, embCache, probeCache).foreach { c =>
+      c.keySet.asScala.filter(_.endsWith(sfx)).toSeq
+        .foreach(k => Option(c.remove(k)).foreach(_.unpersist(false)))
+    }
+    ivfCache.keySet.asScala.filter(_.endsWith(sfx)).toSeq
+      .foreach(k => Option(ivfCache.remove(k)).foreach(_._2.unpersist(false)))
+  }
+
   /** Flagship: end-to-end KG triples on a small fixed corpus. */
   def entry(spark: SparkSession): DataFrame =
     kg(spark, "sf0.001").triples
@@ -109,7 +130,12 @@ object SparkEntry {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
       var cand: Option[DataFrame] = None
-      val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6,
+      // 128/32 pinned HERE (not the 64/16 default): this surface is gated by
+      // an exact-equality DuckDB twin, and 128 hashes square the per-pair
+      // band-miss probability (j=0.80 -> ~5e-8 vs 2.2e-4 at 64) so a future
+      // corpus with pairs near the tau cutoff cannot flake the gate; the
+      // cheaper default stays for bench/scale paths (Dedup class doc math)
+      val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6, numHashes = 128, bands = 32,
         onCache = c => cand = Some(c)).persist()
       out.count()
       cand.foreach(_.unpersist(false))

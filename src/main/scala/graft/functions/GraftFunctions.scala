@@ -43,10 +43,15 @@ object GraftFunctions {
     * per-row intermediate array or the higher-order-function lambda
     * evaluator. Inputs are fixed-dimension embedding vectors: no null
     * elements (enforced upstream by the double cast of non-null parquet
-    * floats); unequal lengths take the shorter (engine vectors never
-    * disagree on dim). */
+    * floats). Mismatched lengths THROW rather than silently summing over
+    * the shorter prefix — engine vectors never disagree on dim, so a
+    * mismatch is a malformed input that must fail loud, not produce a
+    * plausible partial sum (the zip_with spelling nulled it out). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array lengths differ ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

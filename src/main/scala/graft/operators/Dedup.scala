@@ -196,7 +196,7 @@ object Dedup {
     })
     val keepBucket = udf((n: Int) => {
       if (n > maxBucket) { skipped.foreach(_.add(1L)); false } else n > 1
-    })
+    }).asNondeterministic()
     banded.groupBy("band_idx", "bucket").agg(collect_list("doc_id").as("ids"))
       .filter(keepBucket(size(col("ids"))))
       .select(explode(pairsInBucket(col("ids"))).as("p"))

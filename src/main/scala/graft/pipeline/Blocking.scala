@@ -76,8 +76,13 @@ object Blocking {
     val typed = entities.filter(col("entity_type").isNotNull)
       .select(concat(lit("t:"), col("entity_type")).as("key"), col("id"))
     val typeCounts = typed.groupBy("key").agg(count(lit(1)).as("tn"))
+    // index cap = min(typeBlockMaxEntities, blockJoinMaxDf): the JOIN drops
+    // keys above blockJoinMaxDf anyway, so type rows in
+    // (blockJoinMaxDf, typeBlockMaxEntities] would be built and shuffled but
+    // never joined — pure index cost for zero recall
+    val typeCap = math.min(cfg.typeBlockMaxEntities, cfg.blockJoinMaxDf)
     val typeKeys = typed.join(typeCounts, "key")
-      .filter(col("tn") <= cfg.typeBlockMaxEntities).select("key", "id")
+      .filter(col("tn") <= typeCap).select("key", "id")
     val lsh = entities.select(col("id"), explode(lshKeysUdf(cfg)(col("emb"))).as("key"))
       .select("key", "id")
     val ctx = entities.select(col("id"), explode(ctxTokensUdf(col("x1"))).as("key"))
@@ -135,9 +140,12 @@ object Blocking {
     // referee (0.998-1.0 precision, >= 0.99998 recall at 15k-102k entities).
     val skipped = skippedKeys.getOrElse(
       spark.sparkContext.longAccumulator("graft.blocking.skipped_join_keys"))
+    // asNondeterministic: tells the optimizer never to duplicate/re-evaluate
+    // this call within a plan (counts are UI diagnostics, never gated on;
+    // recomputation across actions can still re-add — the standard caveat)
     val keepKey = udf((kdf: Long) => {
       if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else true
-    })
+    }).asNondeterministic()
     val keptKeys = entityB0.groupBy("key").agg(count(lit(1)).as("kdf"))
       .filter(keepKey(col("kdf"))).select("key")
     val entityB = entityB0.join(keptKeys, "key")

@@ -397,7 +397,7 @@ object Scorer {
       .longAccumulator("graft.dupedges.skipped_keys")
     val keepKey = udf((kdf: Long) => {
       if (kdf > cfg.blockJoinMaxDf) { skipped.add(1L); false } else kdf > 1
-    })
+    }).asNondeterministic()
     val keptKeys = entityB.groupBy("key").agg(count(lit(1)).as("kdf"))
       .filter(keepKey(col("kdf"))).select("key")
     val selective = entityB.join(keptKeys, "key").select("key", "id")
