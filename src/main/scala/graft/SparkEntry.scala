@@ -98,6 +98,29 @@ object SparkEntry {
       .foreach(k => Option(ivfCache.remove(k)).foreach(_._2.unpersist(false)))
   }
 
+  /** zh-mixed corpus scale: smaller than the Latin corpus (it gates the CJK
+    * mention semantics, not throughput) but still sf-scaled. */
+  private[graft] def zhSpecFor(sfDir: String): Synth.Spec = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.001)
+    Synth.Spec(nConv = math.max(60, (sf * 20000).toInt))
+  }
+
+  /** zh/en mixed pipeline run (unsegmented Chinese mentions — the corpus
+    * shape of the reference's own seed data), memoized like `kg` under a
+    * "zh:"-prefixed key so clearSession releases it too. */
+  private[graft] def kgZh(spark: SparkSession, sfDir: String): KgPipeline.Outputs =
+    kgCache.computeIfAbsent("zh:" + sfDir + "@" + spark.hashCode(), _ => {
+      val spec = zhSpecFor(sfDir)
+      val dict = Synth.zhDictionary(spec)
+      val turns = TranscriptSource.fromSeq(spark, Synth.zhTranscripts(spec, dict))
+      val out = KgPipeline.run(spark, turns, dict, GraftConfig.default)
+      KgPipeline.Outputs(
+        out.mentions, out.decisions,
+        out.components.persist(), out.triples.persist(),
+        out.decisionStats.persist(), out.cached)
+    })
+
   /** Flagship: end-to-end KG triples on a small fixed corpus. */
   def entry(spark: SparkSession): DataFrame =
     kg(spark, "sf0.001").triples
@@ -265,6 +288,16 @@ object SparkEntry {
             .otherwise(format_string(Scoring.AmbiguousReasonTemplate,
               col("final_score"))).as("reasoning"))
     }),
+
+    // ---- zh-mixed pipeline surfaces (round-4: CJK mention detection — the
+    // reference corpus's primary language; unsegmented inline mentions).
+    // Oracle twins read the zh golden-oracle parquet Verify dumps, so all
+    // three are full rows+schema+hash gates.
+    "kg_mentions_zh" -> ((s, dir) => kgZh(s, dir).mentions
+      .select("mention_id", "conv_id", "turn_idx", "surface", "offset")),
+    "kg_decisions_zh" -> ((s, dir) => kgZh(s, dir).decisions
+      .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score")),
+    "kg_triples_zh" -> ((s, dir) => kgZh(s, dir).triples.select("subj", "pred", "obj")),
 
     // ---- scans / filters / joins / windows (SURVEY §2.1-2.6 analogs)
     "s1_scan_order" -> ((s, dir) => tbl(s, dir, "documents")
@@ -669,6 +702,12 @@ object SparkEntry {
         "SELECT subj, obj, n_mentions FROM read_parquet('{ORA}/kg_mention_props/*.parquet')",
       "kg_decisions_forced" ->
         "SELECT * FROM read_parquet('{ORA}/kg_decisions_forced/*.parquet')",
+      "kg_mentions_zh" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_mentions_zh/*.parquet')",
+      "kg_decisions_zh" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_decisions_zh/*.parquet')",
+      "kg_triples_zh" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_triples_zh/*.parquet')",
       "s4_alias_search" ->
         ("SELECT id, name, entity_type FROM read_parquet('{ORA}/fixtures_entities/*.parquet') " +
           "WHERE contains(name, '1') OR len(list_filter(aliases, a -> contains(a, '1'))) > 0 " +

@@ -93,5 +93,17 @@ object Verify {
     // (alias substring search; 1-hop neighbor rehydration)
     write("fixtures_entities", spark.createDataset(dict).toDF()
       .select("id", "name", "entity_type", "aliases"))
+
+    // zh-mixed golden twin (round-4 CJK gate): same no-Spark oracle over the
+    // zh/en fixture — unsegmented inline mentions, the reference corpus's
+    // primary language
+    val zhSpec = SparkEntry.zhSpecFor(sfDir)
+    val zhDict = Synth.zhDictionary(zhSpec)
+    val zhGolden = Oracle.run(Synth.zhTranscripts(zhSpec, zhDict), zhDict, cfg)
+    write("kg_mentions_zh", zhGolden.mentions.toDF()
+      .select("mention_id", "conv_id", "turn_idx", "surface", "offset"))
+    write("kg_decisions_zh", zhGolden.decisions.toDF()
+      .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score"))
+    write("kg_triples_zh", zhGolden.triples.toSeq.toDF("subj", "pred", "obj"))
   }
 }

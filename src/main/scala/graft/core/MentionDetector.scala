@@ -8,10 +8,15 @@ import graft.model.{EntityRecord, Mention, Turn}
   * turn text). Pure Scala so the Spark pipeline (via a broadcast
   * SurfaceIndex) and the no-Spark oracle share identical semantics.
   *
-  * Rule: tokenize on whitespace; at each token position match the LONGEST
-  * dictionary surface (name or alias, case-insensitive, whole-token
-  * sequence). mention_id = conv_id#turn_idx#tokenOffset is unique and
-  * deterministic.
+  * Rule: tokenize with TextSim.mentionTokens — whitespace-separated for
+  * Latin text (byte-identical to the round-1..3 whitespace rule there), Han
+  * ideographs PER CHARACTER so unsegmented Chinese matches dictionary
+  * surfaces inline (北京大学 inside a Han run is a 4-token sequence on both
+  * sides; the reference's own corpus is zh/en mixed). At each token
+  * position match the LONGEST dictionary surface (name or alias,
+  * case-insensitive, whole-token sequence). mention_id =
+  * conv_id#turn_idx#tokenOffset is unique and deterministic (the offset is
+  * an index into the mixed-script token stream).
   */
 object MentionDetector {
 
@@ -48,7 +53,7 @@ object MentionDetector {
     }
     val indexed = owners.toSeq.sortBy(_._1).flatMap { case (low, (surf, types)) =>
       val mt = if (types.size == 1) types.head else None
-      val toks = TextSim.tokens(low)
+      val toks = TextSim.mentionTokens(low)
       if (toks.isEmpty) None else Some((toks, IndexedSurface(surf, mt)))
     }
     val byFirst = indexed.groupBy(_._1.head).map { case (first, ss) =>
@@ -70,7 +75,7 @@ object MentionDetector {
 
   /** Longest-match detection at every token position. */
   def detect(turn: Turn, idx: SurfaceIndex): Seq[Mention] = {
-    val toks = TextSim.tokens(turn.text.toLowerCase)
+    val toks = TextSim.mentionTokens(turn.text.toLowerCase)
     if (toks.isEmpty) return Nil
     val out = Seq.newBuilder[Mention]
     var i = 0

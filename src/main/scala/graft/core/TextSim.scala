@@ -27,10 +27,62 @@ import scala.util.hashing.MurmurHash3
 object TextSim {
 
   /** Whitespace tokenization exactly as Python str.split(): runs of
-    * whitespace collapse, leading/trailing ignored. */
+    * whitespace collapse, leading/trailing ignored. This is the SCORER's
+    * tokenizer — rapidfuzz token_sort_ratio splits the same way (zh strings
+    * are single tokens there too), so X6 parity requires it unchanged. */
   def tokens(s: String): Array[String] = {
     val t = s.trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  @inline private def isIdeo(cp: Int): Boolean = Character.isIdeographic(cp)
+
+  /** CJK punctuation + fullwidth punctuation forms — separators in
+    * unsegmented text (。，、！？；：（）《》「」 and their fullwidth ASCII
+    * kin). U+3000 ideographic space is already Character.isWhitespace. */
+  @inline private def isCjkPunct(cp: Int): Boolean =
+    (cp >= 0x3001 && cp <= 0x303f) ||
+      (cp >= 0xff01 && cp <= 0xff0f) ||
+      (cp >= 0xff1a && cp <= 0xff20) ||
+      (cp >= 0xff3b && cp <= 0xff40) ||
+      (cp >= 0xff5b && cp <= 0xff65)
+
+  /** Mixed-script segmentation for mention detection / context features:
+    * whitespace still separates, but runs of Han ideographs tokenize
+    * PER CHARACTER (Chinese is written without word spaces — a dictionary
+    * surface like 北京大学 must match inside an unsegmented run, which
+    * whitespace tokenization can never do; the reference's own corpus is
+    * zh/en mixed, /root/reference/data/sample_entities.json:1-120, and its
+    * substring CONTAINS search works on zh, neo4j_database.py:240-259).
+    * CJK punctuation separates like whitespace — so an embedded Latin token
+    * (联系YL7。 -> 联 系 yl7) still matches its dictionary surface. Non-CJK
+    * text is byte-identical to `tokens` (guarded by a fast path), so every
+    * Latin-corpus fixture, hash gate and offset is unchanged. Kana/Hangul
+    * stay run-tokens (space-delimited scripts in practice; per-char would
+    * shred Japanese words — documented scope: Han). */
+  def mentionTokens(s: String): Array[String] = {
+    var hasCjk = false
+    var i = 0
+    while (i < s.length && !hasCjk) {
+      val cp = s.codePointAt(i)
+      if (isIdeo(cp) || isCjkPunct(cp)) hasCjk = true
+      i += Character.charCount(cp)
+    }
+    if (!hasCjk) return tokens(s)
+    val out = Array.newBuilder[String]
+    val run = new java.lang.StringBuilder
+    def flush(): Unit = if (run.length > 0) { out += run.toString; run.setLength(0) }
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (Character.isWhitespace(cp) || isCjkPunct(cp)) flush()
+      else if (isIdeo(cp)) { flush(); out += s.substring(i, i + n) }
+      else run.append(s, i, i + n)
+      i += n
+    }
+    flush()
+    out.result()
   }
 
   /** Levenshtein distance (unit costs), O(|a|*|b|), two-row DP. */
@@ -201,7 +253,12 @@ object TextSim {
   final case class TfVec(tokens: Array[Long], counts: Array[Int], norm: Double)
 
   def tfVector(text: String): TfVec = {
-    val raw = tokens(text.toLowerCase)
+    // mentionTokens: identical to whitespace tokens on Latin text (fast
+    // path), per-character on Han runs — without it a zh context is one
+    // giant unique token and the CE-surrogate cosine is structurally 0 for
+    // the reference's own primary language. Oracle-shared like everything
+    // here, so engine == oracle holds on every script.
+    val raw = mentionTokens(text.toLowerCase)
     if (raw.isEmpty) return TfVec(Array.empty, Array.empty, 0.0)
     val hs = new Array[Long](raw.length)
     var k = 0

@@ -154,6 +154,149 @@ object Synth {
   /** All mentionable surfaces of an entity (name + aliases). */
   def surfaces(e: EntityRecord): Seq[String] = e.name +: e.aliases
 
+  // ---------------------------------------------------------------- zh-mixed
+  // Round-4 fixture family: the reference's own seed corpus is zh/en MIXED
+  // (Chinese names with English aliases, open Chinese type vocabulary —
+  // /root/reference/data/sample_entities.json:1-120 shape) and Chinese text
+  // is UNSEGMENTED: no whitespace around mentions, so this fixture is what
+  // forces the CJK-aware tokenizer. All strings below are engine-authored;
+  // nothing is copied from the reference corpus. Own seeds + id namespace:
+  // the Latin fixtures keep their byte-identical draw sequences.
+
+  private val zhTypes = Vector("疾病", "药物", "症状", "基因", "机构")
+  private val zhParts = Vector("云", "岭", "泉", "桥", "晨", "光", "石", "河",
+    "谷", "林", "海", "星", "岩", "松", "雪", "川")
+  private val zhSuffixes = Vector("医院", "大学", "公司", "研究所", "药业", "实验室")
+  private val zhDefnVocab = Vector("慢性", "疾病", "治疗", "患者", "症状", "表现",
+    "常见", "蛋白", "受体", "抑制剂", "临床", "通路", "反应", "调节", "表达",
+    "综合征", "急性", "代谢", "免疫", "障碍")
+  private val zhFillerVocab = Vector("今天", "我们", "讨论", "一下", "相关", "情况",
+    "请", "查看", "报告", "然后", "安排", "会议", "记录", "更新", "结果", "继续",
+    "跟进", "这个", "问题", "需要")
+
+  /** Unsegmented run of zh vocabulary words — Chinese carries no word
+    * delimiters, which is the whole point of this fixture. */
+  private def zhRun(rnd: Random, vocab: Vector[String], n: Int): String =
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString
+
+  /** Definition snippet for planted context: chars for unsegmented zh
+    * definitions, leading words for spaced Latin ones. */
+  private def defnSnippet(defn: String, n: Int): String =
+    if (defn.contains(' ')) graft.core.TextSim.tokens(defn).take(n).mkString(" ")
+    else defn.take(n)
+
+  /** zh/en mixed dictionary: ~2/3 zh-named entities (index-derived two-part
+    * stems + institutional suffixes keep surfaces distinct), 1/3 Latin-named;
+    * aliases cross scripts both ways (zh stem aliases — the longest-match
+    * foil — Latin code aliases on zh entities, zh aliases on Latin
+    * entities). Every 5th zh entity gets a one-character-substituted
+    * near-duplicate so same_as canonicalization runs on zh names. */
+  def zhDictionary(spec: Spec): Seq[EntityRecord] = {
+    val rnd = new Random(spec.seed + 7)
+    val ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val base = (0 until spec.nBaseEntities).map { i =>
+      if (i % 3 != 2) {
+        val t = zhTypes(i % zhTypes.size)
+        val stem = zhParts(i % zhParts.size) +
+          zhParts((i / zhParts.size + i * 5 + 3) % zhParts.size)
+        val name = stem + zhSuffixes(i % zhSuffixes.size)
+        val aliases = {
+          val a = scala.collection.mutable.ArrayBuffer[String]()
+          if (i % 2 == 0) a += stem // short zh alias: exercises longest-match
+          if (rnd.nextBoolean()) a += s"ZH$i" // Latin code alias inside zh text
+          a.toSeq
+        }
+        val defn = zhRun(rnd, zhDefnVocab, 6 + rnd.nextInt(6)) // unsegmented
+        EntityRecord(f"zh_$i%05d", name, Some(t), aliases, Some(defn),
+          if (i % 4 == 0) Map("类别" -> Seq(t)) else Map.empty,
+          Some("synth-zh"), Some(ts0))
+      } else {
+        val t = types(i % types.size)
+        val name = mkName(rnd, 1 + rnd.nextInt(2))
+        val aliases = {
+          val a = scala.collection.mutable.ArrayBuffer[String]()
+          if (rnd.nextBoolean()) a += abbrev(name)
+          if (i % 6 == 2) // zh alias of a Latin-named entity
+            a += zhParts((i * 7 + 1) % zhParts.size) +
+              zhParts((i * 3 + 5) % zhParts.size) + "集团"
+          a.toSeq
+        }
+        EntityRecord(f"en_$i%05d", name, Some(t), aliases,
+          Some(sentence(rnd, defnVocab, 6 + rnd.nextInt(6))), Map.empty,
+          Some("synth-zh"), Some(ts0))
+      }
+    }
+    val dupes = base.zipWithIndex.collect {
+      case (e, i) if i % 5 == 0 && e.id.startsWith("zh_") =>
+        val pos = i % e.name.length
+        val nm = e.name.substring(0, pos) +
+          zhParts((i * 11 + 5) % zhParts.size) +
+          e.name.substring(math.min(pos + 1, e.name.length))
+        EntityRecord(s"dup_${e.id}", nm, e.entity_type, e.aliases.take(1),
+          e.definition.map(_ + zhRun(rnd, zhDefnVocab, 2)), e.attributes,
+          Some("synth-zh-dup"), e.create_time)
+    }
+    base ++ dupes
+  }
+
+  /** Deterministic zh/en mixed transcripts: ~70% zh turns whose planted
+    * surfaces are INLINE in unsegmented Han runs (the case whitespace
+    * tokenization is structurally blind to), the rest English turns that may
+    * still mention zh entities; context borrowing from the entity definition
+    * drives the same merge/ambiguous/create branch spread as `transcripts`. */
+  def zhTranscripts(spec: Spec, dict: Seq[EntityRecord]): Seq[Turn] = {
+    val rnd = new Random(spec.seed + 8)
+    val hot = dict.head
+    val baseTs = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val out = Vector.newBuilder[Turn]
+    var c = 0
+    while (c < spec.nConv) {
+      val convId = f"zconv_$c%06d"
+      var t = 0
+      while (t < spec.turnsPerConv) {
+        val zhTurn = rnd.nextInt(10) < 7
+        val sb = new StringBuilder(
+          if (zhTurn) zhRun(rnd, zhFillerVocab, 2 + rnd.nextInt(3))
+          else sentence(rnd, fillerVocab, 4 + rnd.nextInt(5)))
+        val isHot = rnd.nextDouble() < spec.hotRate
+        if (isHot || rnd.nextDouble() < spec.plantRate) {
+          val e = if (isHot) hot else dict(rnd.nextInt(dict.size))
+          val ss = surfaces(e)
+          val surf = ss(rnd.nextInt(ss.size))
+          val defn = e.definition.getOrElse("")
+          val mergeish = rnd.nextDouble() < spec.mergeRate
+          if (zhTurn) {
+            sb.append(surf) // inline: no separator before or after
+            if (mergeish) sb.append(defnSnippet(defn, 5 + rnd.nextInt(6)))
+            else if (rnd.nextDouble() < 0.5)
+              sb.append(defnSnippet(defn, 3)).append("。")
+                .append(zhRun(rnd, zhFillerVocab, 2))
+            else sb.append("。").append(zhRun(rnd, zhFillerVocab, 3))
+          } else {
+            sb.append(" ").append(surf).append(" ")
+            if (mergeish) sb.append(defnSnippet(defn, 6 + rnd.nextInt(6)))
+            else if (rnd.nextDouble() < 0.5)
+              sb.append(defnSnippet(defn, 3)).append(" ")
+                .append(sentence(rnd, fillerVocab, 4))
+            else sb.append(sentence(rnd, fillerVocab, 5))
+          }
+          if (rnd.nextDouble() < 0.15) { // second plant in the same turn
+            val e2 = dict(rnd.nextInt(dict.size))
+            if (zhTurn) sb.append("，").append(e2.name)
+            else sb.append(" ").append(e2.name)
+          }
+        }
+        val role = roles(t % roles.size)
+        val tool = if (role == "tool") tools(2 + rnd.nextInt(3)) else ""
+        val ts = new Timestamp(baseTs + (c.toLong * spec.turnsPerConv + t) * 60000L)
+        out += Turn(convId, t, role, sb.toString, tool, ts)
+        t += 1
+      }
+      c += 1
+    }
+    out.result()
+  }
+
   /** Deterministic transcripts with planted mentions. */
   def transcripts(spec: Spec, dict: Seq[EntityRecord]): Seq[Turn] = {
     val rnd = new Random(spec.seed + 1)

@@ -32,10 +32,13 @@ object Blocking {
   }
 
   /** Distinct lowercased word tokens of a scoring text, prefixed so the
-    * key space never collides with char n-grams. */
+    * key space never collides with char n-grams. mentionTokens (CJK-aware,
+    * Latin-identical): zh scoring texts contribute per-character keys —
+    * high-df chars fall to the df cap, rare chars keep the deterministic
+    * recall floor the channel exists for. */
   val ctxTokensUdf = udf { x1: String =>
     if (x1 == null) Array.empty[String]
-    else TextSim.tokens(x1.toLowerCase).distinct.map("w:" + _)
+    else TextSim.mentionTokens(x1.toLowerCase).distinct.map("w:" + _)
   }
 
   /** (key, entity_id, channel) blocking index over three channels:

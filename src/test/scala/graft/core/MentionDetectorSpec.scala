@@ -49,6 +49,40 @@ class MentionDetectorSpec extends AnyFunSuite {
     assert(ms.head.mention_type.isEmpty)
   }
 
+  test("zh: unsegmented inline mention detected; longest surface wins over stem alias") {
+    val idx = MentionDetector.buildIndex(Seq(
+      ent("z1", "云岭医院", Some("机构"), Seq("云岭")),
+      ent("z2", "晨光药业", Some("机构"))))
+    // no whitespace anywhere — the case round 3's tokenizer was blind to
+    val ms = MentionDetector.detect(turn("今天我们讨论云岭医院的相关情况"), idx)
+    assert(ms.map(_.surface) == Seq("云岭医院"))
+    assert(ms.head.mention_type.contains("机构"))
+    // stem alias matches where the full name does not continue
+    val ms2 = MentionDetector.detect(turn("云岭团队提交了报告"), idx)
+    assert(ms2.map(_.surface) == Seq("云岭"))
+  }
+
+  test("zh: Latin alias embedded in a Han run; CJK punctuation separates") {
+    val idx = MentionDetector.buildIndex(Seq(
+      ent("z1", "云岭医院", Some("机构"), Seq("ZH7")),
+      ent("e1", "alder brevi", Some("drug"))))
+    val ms = MentionDetector.detect(turn("请联系ZH7获取结果。然后跟进alder brevi的问题"), idx)
+    assert(ms.map(_.surface) == Seq("ZH7", "alder brevi"))
+    // punctuation adjacency must not block the match
+    val ms2 = MentionDetector.detect(turn("关于云岭医院。"), idx)
+    assert(ms2.map(_.surface) == Seq("云岭医院"))
+  }
+
+  test("zh: mixed en/zh turn detects surfaces of both scripts with stable offsets") {
+    val idx = MentionDetector.buildIndex(Seq(
+      ent("z1", "泉桥大学", Some("机构")),
+      ent("e1", "glimer", Some("gene"))))
+    val ms = MentionDetector.detect(turn("please check 泉桥大学 report for glimer"), idx)
+    assert(ms.map(_.surface) == Seq("泉桥大学", "glimer"))
+    // offsets index the mixed token stream: [please, check, 泉, 桥, 大, 学, report, for, glimer]
+    assert(ms.map(_.offset) == Seq(2, 8))
+  }
+
   test("mega-dictionary index finds exact surfaces (hash probes, no scan)") {
     val dict = graft.fixtures.Synth.megaDictionary(2000)
     val idx = MentionDetector.buildIndex(dict)

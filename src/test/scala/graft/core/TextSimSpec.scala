@@ -77,6 +77,43 @@ class TextSimSpec extends AnyFunSuite {
     assert(contextScore("", "a") == 0.0)
   }
 
+  test("mentionTokens: Han runs tokenize per character, Latin stays whitespace") {
+    assert(mentionTokens("hello  world").sameElements(Array("hello", "world")))
+    assert(mentionTokens("今天我们讨论云岭医院")
+      .sameElements(Array("今", "天", "我", "们", "讨", "论", "云", "岭", "医", "院")))
+    // CJK punctuation separates; embedded Latin token survives intact
+    assert(mentionTokens("联系ZH7。谢谢")
+      .sameElements(Array("联", "系", "ZH7", "谢", "谢")))
+    assert(mentionTokens("云岭医院。today ok")
+      .sameElements(Array("云", "岭", "医", "院", "today", "ok")))
+    // supplementary-plane ideograph (surrogate pair) is one token
+    assert(mentionTokens("a𠀀b").sameElements(Array("a", "𠀀", "b")))
+    assert(mentionTokens("").isEmpty && mentionTokens("   ").isEmpty)
+  }
+
+  test("mentionTokens == tokens on any CJK-free string (fast-path identity)") {
+    for (a <- samples(120)) assert(mentionTokens(a).sameElements(tokens(a)))
+  }
+
+  test("tokenSortRatio on zh strings pins rapidfuzz semantics (whitespace split)") {
+    // rapidfuzz token_sort_ratio splits on whitespace too: an unsegmented zh
+    // string is ONE token, so this is plain indel similarity over chars —
+    // the scorer must NOT adopt per-char tokenization (X6 parity)
+    assert(tokenSortRatio("云岭医院", "云岭医院") == 1.0)
+    // single tokens, sorted == identity: 2*LCS/(4+4), LCS(云岭医院, 云岩医院)=3
+    assert(math.abs(tokenSortRatio("云岭医院", "云岩医院") - 0.75) < 1e-12)
+    // whitespace-separated zh tokens DO sort (token_sort invariance)
+    assert(tokenSortRatio("云岭医院 研究所", "研究所 云岭医院") == 1.0)
+    assert(math.abs(levRatio("云岭医院", "云岩医院") - 0.75) < 1e-12)
+  }
+
+  test("contextScore overlaps on zh via per-char tf tokens") {
+    // whitespace tokenization would make these single disjoint tokens => 0;
+    // the CJK-aware tfVector shares 慢性疾病 chars
+    assert(contextScore("慢性疾病治疗", "慢性疾病患者") > 0.4)
+    assert(contextScore("慢性疾病", "调节表达") == 0.0)
+  }
+
   test("properties: symmetry and bounds") {
     val xs = samples(120)
     for ((a, b) <- xs.zip(xs.reverse)) {
