@@ -466,11 +466,16 @@ object SparkEntry {
     "corpus_top_terms" -> ((s, dir) =>
       graft.operators.Corpus.topTerms(tbl(s, dir, "documents"), 100)),
 
-    // ---- multimodal plumbing (stubbed decode, real Spark shape)
+    // ---- multimodal plumbing: REAL ImageIO decode for image rows (the PNG
+    // fixture encodes text-derived dims, so the oracle predicts them from
+    // the text column while the engine must recover them from the container
+    // bytes); audio/video remain the declared stub. n_bytes is excluded
+    // from the gated projection — a PNG's encoded length is not
+    // SQL-expressible (it still rides on MediaFeatures, spec-checked).
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.fromDocuments(tbl(s, dir, "documents")))
-        .toDF().select("doc_id", "mime", "n_bytes", "width", "height", "n_frames")
+        .toDF().select("doc_id", "mime", "width", "height", "n_frames")
     })
   )
 
@@ -761,7 +766,6 @@ object SparkEntry {
       "mm_decode" ->
         ("SELECT doc_id, " +
           "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
-          "octet_length(encode(text))::BIGINT AS n_bytes, " +
           "(1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS width, " +
           "(1 + ascii(substr(text, 2, 1)) % 64)::BIGINT AS height, " +
           "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 64 + 1 ELSE 1 END)::BIGINT AS n_frames " +

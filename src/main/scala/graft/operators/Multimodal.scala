@@ -1,17 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, batch feature extraction as a typed partition-local transform.
   *
-  * The actual codecs (image/audio/video decode) are NOT in this container,
-  * so `decodeStub` is a clearly-marked deterministic fake. Everything
-  * Spark-side is real: binary column schema, mime routing, partition-
-  * preserving mapPartitions (the Scala analog of Python's mapInPandas —
-  * batched, executor-local, no shuffle), and downstream columnar stats.
-  * Swapping in a real decoder changes only the body of `decodeStub`.
+  * Image decode is REAL: `javax.imageio` ships with the JDK (PNG/JPEG/GIF/
+  * BMP), so image payloads are parsed for their actual pixel dimensions —
+  * no external jars, no stub. Audio/video codecs are genuinely absent in
+  * this container, so THOSE two mime families go through `decodeStub`, a
+  * clearly-marked deterministic fake; swapping in a real decoder changes
+  * only that function. Everything Spark-side is real either way: binary
+  * column schema, mime routing, partition-preserving mapPartitions (the
+  * Scala analog of Python's mapInPandas — batched, executor-local, no
+  * shuffle), and downstream columnar stats.
   */
 object Multimodal {
 
@@ -26,45 +29,98 @@ object Multimodal {
       n_frames: Long,
       checksum: Long)
 
-  /** Deterministic fake decode — STUB for the real codec. Derives fake
-    * dimensions from leading payload bytes and a payload checksum; a real
-    * implementation would parse the container format here. */
+  private def payloadChecksum(b: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+    sum % 9973L
+  }
+
+  /** Deterministic fake decode — STUB for the audio/video codecs this
+    * container lacks. Derives fake dimensions from leading payload bytes
+    * and a payload checksum; a real implementation would parse the
+    * container format here. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val b = r.payload
     val b0 = if (b.length > 0) b(0) & 0xff else 0
     val b1 = if (b.length > 1) b(1) & 0xff else 0
-    var sum = 0L
-    var i = 0
-    while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
     val frames = if (r.mime.startsWith("video")) b.length / 64L + 1L else 1L
     MediaFeatures(r.doc_id, r.mime, b.length.toLong,
-      1L + b0 % 64, 1L + b1 % 64, frames, sum % 9973L)
+      1L + b0 % 64, 1L + b1 % 64, frames, payloadChecksum(b))
   }
 
-  /** Synthesize a media table from the documents table: payload = UTF-8
-    * bytes of the text standing in for encoded media; mime routed by id.
-    * (Deterministic; exists because the sandbox ships no binary corpora.) */
+  /** Decode one record: REAL ImageIO parse for image mimes (actual pixel
+    * width/height from the container bytes; undecodable image payloads fail
+    * loud — a corrupt image must not yield plausible fake dimensions),
+    * `decodeStub` for audio/video. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.mime.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable ${r.mime} payload for doc ${r.doc_id}")
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong, 1L, payloadChecksum(r.payload))
+    } else decodeStub(r)
+
+  /** Deterministic PNG synthesis (BufferedImage + ImageIO.write): pixel
+    * values are a cheap hash of (x, y, seed) so payloads differ per doc.
+    * Fixture-side only — exists because the sandbox ships no binary image
+    * corpora; the decode path treats the bytes as an opaque container. */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * 31L + y * 17L + seed * 1000003L) & 0xffffffL
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a media table from the documents table: mime routed by id;
+    * `image/png` rows carry REAL PNG bytes whose pixel dimensions derive
+    * from the text's first two UTF-8 bytes (1 + b % 64 — the formula the
+    * DuckDB oracle twin can compute from the text column, closing the loop
+    * decode-side: ImageIO must recover exactly those dims from the
+    * container). Audio/video payloads remain the UTF-8 text bytes standing
+    * in for encoded media. Deterministic throughout. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val png = udf { (docId: Long, text: String) =>
+      val b = (if (text == null) "" else text).getBytes("UTF-8")
+      val b0 = if (b.length > 0) b(0) & 0xff else 0
+      val b1 = if (b.length > 1) b(1) & 0xff else 0
+      pngBytes(1 + b0 % 64, 1 + b1 % 64, docId)
+    }
     docs.select(
         col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, lit("image/png"))
           .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio/wav"))
           .otherwise(lit("video/mp4")).as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
+        col("text"))
+      .select(col("doc_id"), col("mime"),
+        when(col("mime") === "image/png", png(col("doc_id"), col("text")))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
       .as[MediaRecord]
   }
 
-  /** Batched, partition-local feature extraction: one decoder instance per
-    * partition (where a real codec would amortize init cost), rows streamed
-    * through it — no shuffle, parallelism = input partitions. */
+  /** Batched, partition-local feature extraction: decoder state amortizes
+    * per partition (ImageIO reader caches; a real AV codec would open
+    * here), rows streamed through it — no shuffle, parallelism = input
+    * partitions. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: val codec = Codec.open(...) once per partition
-      it.map(decodeStub)
+      // one decoder scope per partition (ImageIO here; Codec.open for AV)
+      it.map(decode)
     }
   }
 }
