@@ -1,7 +1,11 @@
 package graft.api
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, size => asize}
+
 import graft.core.{Candidates, GraftConfig, Scoring, TextSim}
 import graft.model.{Decisions, EntityRecord, EntityScore}
+import graft.pipeline.{DbRouter, KgPipeline}
 
 /** Single-record API veneer (SURVEY.md §7.2 M5) mirroring the reference's
   * request/response surface (/root/reference/main.py POST /auto-decide and
@@ -113,4 +117,38 @@ object GraftApi {
           if (d == Decisions.Merge) Some(best) else None,
           s, s.final_score, reasoning)
     }
+
+  // ------------------------------------------------- read endpoints (veneer)
+  // The reference also serves GET /history, /stats and /databases
+  // (/root/reference/main.py:218-297) — metadata reads over the stores. The
+  // engine's frames already exist (decisions table, DbRouter); these are the
+  // one-line wrappers that complete endpoint parity, sharing the exact code
+  // the driver-gated queries run so the surfaces can never diverge.
+
+  /** GET /history analog (main.py:218-234): the most recent `limit`
+    * decisions. The reference orders by wall-clock insert time; the engine's
+    * deterministic total order is (conv_id, turn_idx, offset) — the same
+    * recency order decisionStats' trailing window uses. */
+  def history(decisions: DataFrame, limit: Int = 50): DataFrame =
+    decisions
+      .orderBy(col("conv_id").desc, col("turn_idx").desc, col("offset").desc)
+      .limit(limit)
+      .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score")
+
+  /** GET /stats analog (main.py:272-297): decision totals + the trailing
+    * recent-window counts/rates — the identical frame the kg_decision_stats
+    * driver query gates (KgPipeline.decisionStats). */
+  def stats(decisions: DataFrame, recentN: Int = 1000): DataFrame =
+    KgPipeline.decisionStats(decisions, recentN)
+
+  /** GET /stats index section analog (vectorization.get_index_stats,
+    * /root/reference/services/vectorization.py:734-765): entity count +
+    * embedding dimension of an embeddings frame (vec column `emb`). */
+  def indexStats(embeddings: DataFrame, embCol: String = "emb"): DataFrame =
+    embeddings.agg(
+      count(lit(1)).as("entity_count"),
+      org.apache.spark.sql.functions.max(asize(col(embCol))).cast("long").as("dimension"))
+
+  /** GET /databases analog (main.py:236-270): configured db_keys. */
+  def databases(router: DbRouter): Seq[String] = router.databases
 }

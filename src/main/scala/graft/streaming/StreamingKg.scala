@@ -76,30 +76,58 @@ object StreamingKg {
 
   /** Stateful per-conversation operator: emits each dictionary surface the
     * first time a conversation mentions it (flatMapGroupsWithState custom
-    * state). NoTimeout keeps finite-input queries (Trigger.AvailableNow)
-    * terminating; production unbounded streams would bound state with
-    * EventTimeTimeout + a watermark on ts instead. */
+    * state).
+    *
+    * `stateTimeout = Some(gap)` BOUNDS the state for unbounded production
+    * streams: a watermark on ts plus EventTimeTimeout expire a
+    * conversation's seen-set once the watermark passes its last event time
+    * + gap — an idle conversation costs nothing forever, and a re-mention
+    * after expiry re-emits (by design: expiry IS forgetting). The default
+    * None keeps NoTimeout for finite-input queries (Trigger.AvailableNow),
+    * where expiry semantics would only make output depend on batch
+    * boundaries. */
   def firstMentions(
       spark: SparkSession,
       turns: Dataset[Turn],
-      dict: Seq[EntityRecord]): Dataset[FirstMention] = {
+      dict: Seq[EntityRecord],
+      stateTimeout: Option[String] = None,
+      watermarkDelay: String = "1 second"): Dataset[FirstMention] = {
     import spark.implicits._
     val idx = graft.core.MentionDetector.buildIndex(dict)
     val bc = spark.sparkContext.broadcast(idx)
-    turns
+    val src = stateTimeout match {
+      case Some(_) => turns.withWatermark("ts", watermarkDelay).as[Turn]
+      case None    => turns
+    }
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (convId: String, batch: Iterator[Turn], state: GroupState[ConvState]) => {
-          var seen = state.getOption.map(_.seen).getOrElse(Set.empty[String])
-          val out = batch.toSeq.sortBy(_.turn_idx).flatMap { t =>
-            graft.core.MentionDetector.detect(t, bc.value).flatMap { m =>
-              val key = m.surface.toLowerCase
-              if (seen.contains(key)) None
-              else { seen += key; Some(FirstMention(convId, t.turn_idx, m.surface)) }
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap with no new data: drop the
+            // seen-set (bounded state); nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.seen).getOrElse(Set.empty[String])
+            val turnsSeq = batch.toSeq
+            val out = turnsSeq.sortBy(_.turn_idx).flatMap { t =>
+              graft.core.MentionDetector.detect(t, bc.value).flatMap { m =>
+                val key = m.surface.toLowerCase
+                if (seen.contains(key)) None
+                else { seen += key; Some(FirstMention(convId, t.turn_idx, m.surface)) }
+              }
             }
+            state.update(ConvState(seen))
+            stateTimeout.foreach { gap =>
+              val maxTs = turnsSeq.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(maxTs, gap)
+            }
+            out.iterator
           }
-          state.update(ConvState(seen))
-          out.iterator
         })
   }
 }

@@ -52,4 +52,42 @@ class GraftApiSpec extends AnyFunSuite {
     val r = GraftApi.autoDecide(dict.head, new GraftApi.Dictionary(Nil, cfg), cfg)
     assert(r.decision == "create" && r.confidence == 1.0 && r.matchId.isEmpty)
   }
+
+  test("read endpoints: history/stats/databases wrap the pipeline frames (main.py:218-297 parity)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val out = graft.pipeline.KgPipeline.run(spark,
+      graft.pipeline.TranscriptSource.fromSeq(spark, turns), dict, cfg)
+
+    // history: recency-ordered, limit-bounded, newest first
+    val h = GraftApi.history(out.decisions, limit = 10).collect()
+    assert(h.length == 10)
+    val newest = out.decisions
+      .orderBy(org.apache.spark.sql.functions.col("conv_id").desc,
+        org.apache.spark.sql.functions.col("turn_idx").desc,
+        org.apache.spark.sql.functions.col("offset").desc)
+      .limit(1).collect().head.getAs[String]("mention_id")
+    assert(h.head.getAs[String]("mention_id") == newest)
+
+    // stats: identical rows to the driver-gated decisionStats frame
+    val s = GraftApi.stats(out.decisions).collect().map(_.toSeq).toSet
+    val gate = out.decisionStats.collect().map(_.toSeq).toSet
+    assert(s == gate && s.nonEmpty)
+
+    // index stats over a prepped entity frame (has emb)
+    val ix = GraftApi.indexStats(
+      graft.pipeline.EntityStore.prepare(spark, dict, cfg)).collect().head
+    assert(ix.getAs[Long]("entity_count") == dict.size.toLong)
+    assert(ix.getAs[Long]("dimension") == cfg.embeddingDim.toLong)
+
+    // databases: configured keys, sorted (reference GET /databases)
+    val router = new graft.pipeline.DbRouter(
+      Map("default" -> "/tmp/g_default", "medical" -> "/tmp/g_med"), "default")
+    assert(GraftApi.databases(router) == Seq("default", "medical"))
+    out.release()
+  }
 }

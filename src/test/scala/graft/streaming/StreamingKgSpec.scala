@@ -87,6 +87,48 @@ class StreamingKgSpec extends AnyFunSuite {
     assert(rates.map(_.getAs[Long]("n_turns")).sum == turns.size)
   }
 
+  test("bounded state: expired conversation is dropped; re-mention after expiry re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turnAt(conv: String, idx: Int, text: String, ts: String) =
+      Turn(conv, idx, "user", text, "", Timestamp.valueOf(ts))
+    val hot = dict.head // its name is a detectable surface
+    val surf = hot.name
+    val source = MemoryStream[Turn]
+    // one query RUN per batch against a shared checkpoint: AvailableNow
+    // would otherwise fold every addData into a single micro-batch and the
+    // watermark (persisted in the offset log across runs) could never
+    // advance between the steps
+    val out = Files.createTempDirectory("fm-timeout-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("fm-timeout-ckpt").toString
+    def step(data: Seq[Turn]): Unit = {
+      source.addData(data)
+      StreamingKg.firstMentions(spark, source.toDS(), dict,
+          stateTimeout = Some("30 minutes"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // b1: two mentions of the same surface -> one emission; timeout armed
+    // at 10:01 + 30min
+    step(Seq(
+      turnAt("cA", 0, s"first $surf here", "2024-06-01 10:00:00"),
+      turnAt("cA", 1, s"again $surf now", "2024-06-01 10:01:00")))
+    // b2: unrelated conv advances the watermark past 10:31
+    step(Seq(turnAt("cB", 0, "nothing to detect", "2024-06-01 12:00:00")))
+    // b3: cA has NO data while the watermark is past its timeout -> state
+    // dropped via hasTimedOut; cC just carries the batch
+    step(Seq(turnAt("cC", 0, "still nothing", "2024-06-01 12:05:00")))
+    // b4: cA mentions the surface again AFTER expiry -> re-emits
+    step(Seq(turnAt("cA", 9, s"back to $surf", "2024-06-01 12:10:00")))
+
+    val got = spark.read.parquet(out).as[StreamingKg.FirstMention]
+      .collect().filter(_.conv_id == "cA").sortBy(_.turn_idx)
+    assert(got.map(_.turn_idx).toSeq == Seq(0, 9),
+      s"expected first mention + post-expiry re-emit, got ${got.toSeq}")
+  }
+
   test("stateful first-mention operator dedupes surfaces per conversation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
