@@ -79,6 +79,16 @@ final case class GraftConfig(
     // tables x bits sign-hyperplane buckets over the embedding column
     lshTables: Int = 4,
     lshBits: Int = 12,
+    // blocked-tier shuffle sizing (KgPipeline.autoShufflePartitions): the
+    // scoring join's per-task working set is ~estMentionBytes per mention
+    // (prepped side struct + tf arrays + candidate id list + join row
+    // overhead); partitions are derived so one task's slice stays near
+    // targetSliceBytes. Round-3 evidence: 102.5k entities x 1M turns OOMs an
+    // 8g JVM at partitions=cores(32) and completes at 160 — per-task slice
+    // size, not the algorithm (BASELINE.md corpus axis). These defaults give
+    // that cell ~250 partitions with no caller knob.
+    targetSliceBytes: Long = 32L << 20,
+    estMentionBytes: Long = 8192L,
     forceDecision: Boolean = false
 ) {
   def midThreshold: Double = (highThreshold + lowThreshold) / 2.0

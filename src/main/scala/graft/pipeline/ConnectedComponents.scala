@@ -58,14 +58,27 @@ object ConnectedComponents {
       .toDF("id", "component")
   }
 
-  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20, checkpointEvery: Int = 3): DataFrame = {
+  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+                     checkpointEvery: Int = 3, onRounds: Int => Unit = _ => ()): DataFrame = {
+    // SEVER the input lineage before iterating (localCheckpoint, not cache):
+    // caching truncates execution but NOT analysis — every round's plan
+    // still embeds the producer's full logical plan (scoring UDFs, blocking
+    // joins, ...), and the union in the loop doubles those embeddings per
+    // round, so driver-side re-analysis grew 2^k with real pipeline inputs
+    // (measured: rounds of 4.7s -> 16s -> 24s at 17k vertices where the
+    // same loop over LocalTableScan inputs takes 3s total — CcBench found
+    // this; after severing, rounds are flat ~1s). The per-round
+    // checkpointEvery discipline below bounds the loop's OWN growth.
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .cache()
-    var labels = vertices.select(col("id"), col("id").as("component")).cache()
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint(true)
     var iter = 0
     var converged = false
+    val dbg = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    var tPrev = System.nanoTime()
+    if (dbg) { bidir.count(); System.err.println(f"[cc] bidir ${(System.nanoTime()-tPrev)/1e9}%.2fs"); tPrev = System.nanoTime() }
     while (!converged && iter < maxIter) {
       val viaNeighbors = bidir
         .join(labels, bidir("src") === labels("id"))
@@ -80,8 +93,10 @@ object ConnectedComponents {
       labels = stepped
       converged = changed == 0
       iter += 1
+      if (dbg) { System.err.println(f"[cc] round $iter ${(System.nanoTime()-tPrev)/1e9}%.2fs changed=$changed"); tPrev = System.nanoTime() }
     }
     bidir.unpersist(false)
+    onRounds(iter)
     labels
   }
 }

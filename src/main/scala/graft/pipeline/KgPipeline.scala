@@ -124,8 +124,24 @@ object KgPipeline {
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
       val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
-      Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg, sweep = false)
+      Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg, sweep = false,
+        numPartitions = Some(autoShufflePartitions(spark, mentionCount, cfg)))
     }
+
+  /** Shuffle width for the blocked tier's scoring join, derived from corpus
+    * size instead of `spark.sql.shuffle.partitions`: each task's working set
+    * is ~cfg.estMentionBytes per mention (prepped struct + candidate list +
+    * row overhead), so partitions = max(defaultParallelism, mention bytes /
+    * cfg.targetSliceBytes). The default config must not OOM where a knob
+    * setting succeeds: round 3's 102.5k x 1M cell died at partitions=cores
+    * and completed at 160 (BASELINE.md corpus axis) — this computes ~250
+    * there with no caller involvement. Overshooting is AQE-compatible (AQE
+    * coalesces small partitions; the explicit repartition-by-num in
+    * decideBest is never coalesced below the requested width). */
+  def autoShufflePartitions(spark: SparkSession, mentionCount: Long, cfg: GraftConfig): Int = {
+    val byBytes = mentionCount * cfg.estMentionBytes / cfg.targetSliceBytes + 1L
+    math.min(math.max(spark.sparkContext.defaultParallelism.toLong, byBytes), 1 << 20).toInt
+  }
 
   /** Decision-rate stats (reference get_decision_statistics,
     * /root/reference/services/disambiguation.py:487-509): total counts plus

@@ -276,18 +276,33 @@ object Scorer {
       pairs: Option[DataFrame],
       entities: DataFrame,
       cfg: GraftConfig,
-      sweep: Boolean = true): DataFrame = {
+      sweep: Boolean = true,
+      numPartitions: Option[Int] = None): DataFrame = {
     val bc = spark.sparkContext.broadcast(entitySides(entities))
-    val ment = mentionsPrep.select(
+    val ment0 = mentionsPrep.select(
       col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"), col("surface"),
       sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
         col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
+    // numPartitions (blocked tier only — the sweep tier stays map-only with
+    // zero exchanges): pin the scoring join's width so each task's slice of
+    // fat mention structs fits the heap regardless of
+    // spark.sql.shuffle.partitions (KgPipeline.autoShufflePartitions).
+    // Repartition-by-num on BOTH join inputs: co-partitioned, no extra
+    // exchange, and AQE never coalesces an explicit width.
+    val ment = numPartitions match {
+      case Some(n) => ment0.repartition(n, col("mention_id"))
+      case None    => ment0
+    }
     // left join: a mention with no blocked candidates still gets the exact
     // bound-pruned dictionary sweep (empty-dictionary corpora fall through
     // to the create-with-confidence-1.0 branch below)
     val withCands = pairs match {
       case Some(p) =>
-        val cands = p.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
+        val p2 = numPartitions match {
+          case Some(n) => p.repartition(n, col("mention_id"))
+          case None    => p
+        }
+        val cands = p2.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
         ment.join(cands, Seq("mention_id"), "left_outer")
       case None =>
         ment.withColumn("cands", lit(null).cast("array<string>"))

@@ -98,6 +98,19 @@ class PipelineSpec extends AnyFunSuite {
       s"dead blocking channel: $perChannel")
   }
 
+  test("blocked-tier shuffle width derives from corpus size (8g-OOM knob made automatic)") {
+    // small corpora: stay at cluster parallelism, no extra partitions
+    assert(KgPipeline.autoShufflePartitions(spark, 13312L, cfg)
+      == spark.sparkContext.defaultParallelism)
+    // round-3's OOM cell (~1M mentions) must derive at least the 160
+    // partitions that made it complete on an 8g heap (BASELINE.md)
+    assert(KgPipeline.autoShufflePartitions(spark, 1000000L, cfg) >= 160)
+    // monotone and bounded
+    assert(KgPipeline.autoShufflePartitions(spark, 100000000L, cfg)
+      >= KgPipeline.autoShufflePartitions(spark, 1000000L, cfg))
+    assert(KgPipeline.autoShufflePartitions(spark, Long.MaxValue / (64 << 20), cfg) <= (1 << 20))
+  }
+
   test("decisions cover all three branches and stats match the oracle") {
     import spark.implicits._
     val out = KgPipeline.run(spark, TranscriptSource.fromSeq(spark, turns), dict, cfg)
