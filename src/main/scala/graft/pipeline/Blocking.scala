@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{GraftConfig, TextSim}
 
@@ -129,7 +129,18 @@ object Blocking {
       entityB0: DataFrame,
       cfg: GraftConfig,
       hotKeys: Set[String],
-      skippedKeys: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      skippedKeys: Option[org.apache.spark.util.LongAccumulator] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    // numPartitions pins the width of EVERY shuffle in the pair DAG (the
+    // key join's reduce side holds the mention x entity fan-out — tens of
+    // millions of pairs per 1M mentions — and feeds the distinct's sorter;
+    // at partitions=cores those slices blew the 8g heap where the SAME run
+    // at 160 completed, BASELINE.md corpus axis). Explicit repartition by
+    // the operation's own clustering columns replaces the exchange
+    // EnsureRequirements would insert anyway — same shuffle count, derived
+    // width, AQE never coalesces below it.
+    def byKey(df: DataFrame, cols: Column*): DataFrame =
+      numPartitions.map(n => df.repartition(n, cols: _*)).getOrElse(df)
     // entity-side join fan-out cap (cfg.blockJoinMaxDf): a key shared by
     // hundreds+ of entities turns the equi-join quadratic-shaped
     // (|mentions with key| x df pairs) for near-zero selectivity; dropped
@@ -154,7 +165,10 @@ object Blocking {
     val entityB = entityB0.join(keptKeys, "key")
       .select(entityB0.columns.map(col): _*)
     if (hotKeys.isEmpty) {
-      mentionB.join(entityB, "key").select("mention_id", "id").distinct()
+      byKey(byKey(mentionB, col("key")).join(byKey(entityB, col("key")), "key")
+          .select("mention_id", "id"),
+          col("mention_id"), col("id"))
+        .distinct()
     } else {
       val hot = spark.sparkContext.broadcast(hotKeys)
       val isHot = udf((k: String) => hot.value.contains(k))
@@ -167,7 +181,11 @@ object Blocking {
       val allSalts = typedLit[Seq[Long]](0L until r.toLong)
       val eSalted = entityB.withColumn("salt",
         explode(when(isHot(col("key")), allSalts).otherwise(typedLit[Seq[Long]](Seq(0L)))))
-      mSalted.join(eSalted, Seq("key", "salt")).select("mention_id", "id").distinct()
+      byKey(byKey(mSalted, col("key"), col("salt"))
+          .join(byKey(eSalted, col("key"), col("salt")), Seq("key", "salt"))
+          .select("mention_id", "id"),
+          col("mention_id"), col("id"))
+        .distinct()
     }
   }
 

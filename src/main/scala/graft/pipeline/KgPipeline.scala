@@ -123,9 +123,11 @@ object KgPipeline {
       // mention-side hot keys: > ~1% of mentions sharing one key => salt
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
-      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot)
+      val nPart = autoShufflePartitions(spark, mentionCount, cfg)
+      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot,
+        numPartitions = Some(nPart))
       Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg, sweep = false,
-        numPartitions = Some(autoShufflePartitions(spark, mentionCount, cfg)))
+        numPartitions = Some(nPart))
     }
 
   /** Shuffle width for the blocked tier's scoring join, derived from corpus
