@@ -107,4 +107,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!decideStage.exists(_.contains("Exchange")),
       s"sweep tier must not shuffle:\n${decideStage.mkString("\n")}")
   }
+
+  test("blocked tier: every pair-DAG exchange runs at the DERIVED width (the 8g-OOM gate)") {
+    // the candidate join's reduce side + the distinct + the cands groupBy +
+    // the scoring join must all hash-partition at autoShufflePartitions(n),
+    // NOT at spark.sql.shuffle.partitions (=2 in this suite): width pinned
+    // by explicit repartition-by-num, which AQE never coalesces below
+    import graft.core.GraftConfig
+    import graft.fixtures.Synth
+    import graft.pipeline.{KgPipeline, MentionStage, Scorer, TranscriptSource, EntityStore, Blocking}
+    import org.apache.spark.sql.functions.col
+    // estMentionBytes inflated so the fixture-scale corpus derives a width
+    // (97) that can't be confused with defaults (2) or parallelism (2)
+    val cfg = GraftConfig.default.copy(
+      broadcastSweepMaxDict = 0L, estMentionBytes = 32L << 20, targetSliceBytes = 32L << 20)
+    val spec = Synth.Spec(nConv = 8, turnsPerConv = 4)
+    val dict = Synth.dictionary(spec)
+    val turns = TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict))
+    val mentions = MentionStage.detect(spark, turns, dict).toDF().persist()
+    val nMentions = mentions.count()
+    val expected = KgPipeline.autoShufflePartitions(spark, nMentions, cfg)
+    assert(expected > 2, s"fixture derived width $expected too small to discriminate")
+    val mentionsPrep = Scorer.prepareMentions(mentions, cfg)
+      .select(Scorer.mentionPrepCols.map(col): _*)
+    val entities = EntityStore.prepare(spark, dict, cfg)
+    val decisions = KgPipeline.decideTier(spark, mentions, mentionsPrep, entities,
+      Blocking.entityBlocks(entities, cfg), dict.size.toLong, cfg)
+    val p = decisions.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // every repartition-by-num operator in the plan carries the derived width
+    val reparts = s"REPARTITION_BY_NUM".r.findAllIn(p).size
+    assert(reparts >= 4, s"expected the 4 pinned exchanges (2 join inputs, distinct, cands/ment), got $reparts:\n${p.take(3000)}")
+    assert(p.contains(s"hashpartitioning(mention_id"), p.take(2000))
+    assert(p.contains(s", $expected)"),
+      s"expected derived width $expected in partitioning:\n${p.take(3000)}")
+    // and no pinned exchange regressed to the session default
+    assert(!"hashpartitioning\\([^)]*, 2\\), REPARTITION_BY_NUM".r.findFirstIn(p).isDefined,
+      "a pinned exchange fell back to spark.sql.shuffle.partitions")
+    mentions.unpersist()
+  }
 }

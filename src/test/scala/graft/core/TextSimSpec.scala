@@ -95,6 +95,26 @@ class TextSimSpec extends AnyFunSuite {
     for (a <- samples(120)) assert(mentionTokens(a).sameElements(tokens(a)))
   }
 
+  test("mentionTokens properties on random mixed-script strings") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "云岭泉桥晨光石河。，abc de 12 "
+    val strs = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (s <- strs) {
+      val t = mentionTokens(s)
+      assert(t.forall(_.nonEmpty), s"empty token in '$s'")
+      assert(t.sameElements(mentionTokens(s)), "nondeterministic")
+      // a token containing an ideograph is exactly one code point
+      t.filter(_.exists(Character.isIdeographic(_))).foreach { tok =>
+        assert(tok.codePointCount(0, tok.length) == 1, s"multi-cp Han token '$tok' in '$s'")
+      }
+      // lossless modulo separators: concatenation restores the input with
+      // whitespace and CJK punctuation removed
+      assert(t.mkString == s.filterNot(c => Character.isWhitespace(c) || c == '。' || c == '，'),
+        s"token stream not content-preserving for '$s'")
+    }
+  }
+
   test("tokenSortRatio on zh strings pins rapidfuzz semantics (whitespace split)") {
     // rapidfuzz token_sort_ratio splits on whitespace too: an unsegmented zh
     // string is ONE token, so this is plain indel similarity over chars —
