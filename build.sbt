@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The sandbox has no locale (LANG empty => JVM sun.jnu.encoding =
+// ANSI_X3.4-1968, which cannot open non-ASCII file paths — e.g. the zh
+// triples sink's pred=attr:… partition dirs). sun.jnu.encoding is NOT
+// overridable with -D on JDK 17; only the process locale works. Real
+// clusters run UTF-8 locales; pin the same for forked test/run JVMs.
+Test / envVars += ("LC_ALL" -> "C.utf8")
+run / envVars += ("LC_ALL" -> "C.utf8")

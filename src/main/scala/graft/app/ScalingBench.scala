@@ -57,14 +57,18 @@ object ScalingBench {
       embeddingDim = sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64),
       broadcastSweepMaxDict = sys.env.get("GRAFT_SWEEP_MAX").map(_.toLong).getOrElse(10000L))
     val spec = Synth.Spec(nConv = nConv)
-    val dict = Synth.dictionary(spec)
+    // GRAFT_CORPUS=zh: the unsegmented zh/en mixed corpus — per-character
+    // Han tokenization multiplies detection positions per byte, so zh
+    // throughput is its own number, not derivable from the Latin row
+    val zhCorpus = sys.env.get("GRAFT_CORPUS").contains("zh")
+    val dict = if (zhCorpus) Synth.zhDictionary(spec) else Synth.dictionary(spec)
 
     // input corpus: generate once per nConv, reuse across core counts so
     // both measurements read the identical parquet bytes
-    val inputPath = s"$workDir/transcripts"
+    val inputPath = if (zhCorpus) s"$workDir/transcripts-zh" else s"$workDir/transcripts"
     if (!new java.io.File(inputPath).exists()) {
-      TranscriptSource.write(
-        TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict)), inputPath)
+      val seq = if (zhCorpus) Synth.zhTranscripts(spec, dict) else Synth.transcripts(spec, dict)
+      TranscriptSource.write(TranscriptSource.fromSeq(spark, seq), inputPath)
     }
     val turns = TranscriptSource.read(spark, inputPath)
     val nTurns = turns.count() // warm FS cache; excluded from timing
@@ -83,7 +87,8 @@ object ScalingBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val nTriples = spark.read.parquet(s"$workDir/triples-$cores").count()
 
-    println(f"""{"bench":"kg_scaling","cores":$cores,"conversations":$nConv,"turns":$nTurns,"triples":$nTriples,"wall_sec":$wall%.2f,"triples_per_sec":${nTriples / wall}%.1f,"turns_per_sec":${nTurns / wall}%.1f,"stage_sec":{"mentions":$tMentions%.2f,"score_decide":$tDecisions%.2f,"components":$tComponents%.2f,"triples_write":$tWrite%.2f}}""")
+    val corpusTag = if (zhCorpus) "zh" else "latin"
+    println(f"""{"bench":"kg_scaling","corpus":"$corpusTag","cores":$cores,"conversations":$nConv,"turns":$nTurns,"triples":$nTriples,"wall_sec":$wall%.2f,"triples_per_sec":${nTriples / wall}%.1f,"turns_per_sec":${nTurns / wall}%.1f,"stage_sec":{"mentions":$tMentions%.2f,"score_decide":$tDecisions%.2f,"components":$tComponents%.2f,"triples_write":$tWrite%.2f}}""")
     spark.stop()
   }
 }
