@@ -39,4 +39,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // overridable with -D on JDK 17; only the process locale works. Real
 // clusters run UTF-8 locales; pin the same for forked test/run JVMs.
 Test / envVars += ("LC_ALL" -> "C.utf8")
-run / envVars += ("LC_ALL" -> "C.utf8")
+Compile / run / envVars += ("LC_ALL" -> "C.utf8")

@@ -163,7 +163,7 @@ object Blocking {
     val keptKeys = entityB0.groupBy("key").agg(count(lit(1)).as("kdf"))
       .filter(keepKey(col("kdf"))).select("key")
     val entityB = entityB0.join(keptKeys, "key")
-      .select(entityB0.columns.map(col): _*)
+      .select(entityB0.columns.toIndexedSeq.map(col): _*)
     if (hotKeys.isEmpty) {
       byKey(byKey(mentionB, col("key")).join(byKey(entityB, col("key")), "key")
           .select("mention_id", "id"),
