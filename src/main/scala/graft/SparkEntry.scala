@@ -90,6 +90,8 @@ object SparkEntry {
       .foreach(k => Option(kgCache.remove(k)).foreach(_.release()))
     writtenTriples.keySet.asScala.filter(_.endsWith(sfx)).toSeq
       .foreach(writtenTriples.remove)
+    bucketedTables.keySet.asScala.filter(_.endsWith(sfx)).toSeq
+      .foreach(bucketedTables.remove)
     Seq(setsCache, lshPairsCache, embCache, probeCache).foreach { c =>
       c.keySet.asScala.filter(_.endsWith(sfx)).toSeq
         .foreach(k => Option(c.remove(k)).foreach(_.unpersist(false)))
@@ -187,6 +189,25 @@ object SparkEntry {
       val model = Similarity.kmeans(corpus, 8, 3)
       (model, Similarity.ivfAssign(corpus, model).persist())
     })
+
+  /** Bucketed twin tables of events/customer (BucketedStore), written once
+    * per (session, sf): both sides bucketBy the join key into the same
+    * bucket count so the recurring 1-hop join is co-located — zero
+    * exchanges at query time (plan-gated in PlanSpec). Returns the table
+    * name suffix. */
+  private val bucketedTables = new ConcurrentHashMap[String, String]()
+  private def bucketedOnehopTables(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    bucketedTables.computeIfAbsent(tag + "@" + s.hashCode(), _ => {
+      graft.pipeline.BucketedStore.writeBucketed(
+        tbl(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        s"graft_ev_$tag", s"/tmp/graft_bucketed_$tag/events", "user_id", 8)
+      graft.pipeline.BucketedStore.writeBucketed(
+        tbl(s, dir, "customer").select("c_custkey", "c_name"),
+        s"graft_cust_$tag", s"/tmp/graft_bucketed_$tag/customer", "c_custkey", 8)
+      tag
+    })
+  }
 
   /** Perturbed probe vectors planted from the corpus (vec_id%10==0):
     * probe = [v1+0.05, v2..v64], probe_id = vec_id+100000. Memoized +
@@ -351,6 +372,17 @@ object SparkEntry {
       .join(broadcast(tbl(s, dir, "customer")),
         col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "c_name", "value")),
+    // same 1-hop semantics through BUCKETED tables (SURVEY §4 co-located
+    // join): both sides bucketBy the key, so when the dimension outgrows
+    // broadcast the join still needs no exchange — the 100TB recurring-join
+    // layout. Same oracle as s7; the zero-exchange plan is gated in
+    // PlanSpec with broadcast disabled.
+    "j6_bucketed_onehop" -> ((s, dir) => {
+      val tag = bucketedOnehopTables(s, dir)
+      s.table(s"graft_ev_$tag").filter(col("event_type") === "error")
+        .join(s.table(s"graft_cust_$tag"), col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "value")
+    }),
     "s9_history_topn" -> ((s, dir) => tbl(s, dir, "events")
       .orderBy(col("ts").desc, col("event_id")).limit(50)
       .select("event_id", "event_type", "value")),
@@ -546,6 +578,9 @@ object SparkEntry {
       "s4_substring_search" ->
         "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' ORDER BY doc_id LIMIT 100",
       "s7_onehop_join" ->
+        ("SELECT event_id, user_id, c_name, value FROM events " +
+          "JOIN customer ON user_id = c_custkey WHERE event_type = 'error'"),
+      "j6_bucketed_onehop" ->
         ("SELECT event_id, user_id, c_name, value FROM events " +
           "JOIN customer ON user_id = c_custkey WHERE event_type = 'error'"),
       "s9_history_topn" ->

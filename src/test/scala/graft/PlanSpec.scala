@@ -108,6 +108,26 @@ class PlanSpec extends AnyFunSuite {
       s"sweep tier must not shuffle:\n${decideStage.mkString("\n")}")
   }
 
+  test("j6_bucketed_onehop: co-located bucketed join — zero exchanges even without broadcast") {
+    // broadcast off: the gate is that BUCKETING (not broadcast) removes the
+    // shuffle — the layout that survives when the dimension side outgrows
+    // executor memory
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("j6_bucketed_onehop")(spark, sfDir)
+      val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(3000)}")
+      // and it computes the same rows as the shuffled/broadcast spelling
+      val a = q.collect().map(_.toSeq).toSet
+      val b = SparkEntry.queries("s7_onehop_join")(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("blocked tier: every pair-DAG exchange runs at the DERIVED width (the 8g-OOM gate)") {
     // the candidate join's reduce side + the distinct + the cands groupBy +
     // the scoring join must all hash-partition at autoShufflePartitions(n),
