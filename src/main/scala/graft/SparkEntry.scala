@@ -448,6 +448,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.simhashSignatures(docsPlusExactCopies(s, dir)), 3)
         .withColumn("hamming", col("hamming").cast("long"))),
+    // transitive near-dup clustering over the verified minhash pairs (the
+    // keep-one-representative step; CC machinery, driver tier at dup-graph
+    // scale). Twin: recursive-CTE reachability over the {OUT} pairs dump.
+    "dedup_clusters" -> ((s, dir) => Dedup.clusterReps(minhashPairs(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
     // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
@@ -635,6 +639,19 @@ object SparkEntry {
           ") GROUP BY md5(text)"),
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql, // LSH recall is 1 at tau=0.6 on this corpus
+      // independent re-derivation of the transitive clusters: recursive-CTE
+      // reachability over the (already hash-gated) engine pair dump, rep =
+      // min reachable id — gates the CC clustering logic itself
+      "dedup_clusters" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM read_parquet('{OUT}/dedup_minhash_lsh/*.parquet')
+          |  UNION
+          |  SELECT doc_b, doc_a FROM read_parquet('{OUT}/dedup_minhash_lsh/*.parquet')),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM e
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+          |SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a""".stripMargin,
       "dedup_embed_cosine" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),

@@ -250,6 +250,29 @@ object Dedup {
     jaccardForPairs(sets, cand, tau)
   }
 
+  /** Near-dup CLUSTERS over verified pairs — the step an actual corpus
+    * dedup ends with: pairs only say "these two are dups"; dropping
+    * duplicates needs one REPRESENTATIVE per transitive cluster (a~b, b~c
+    * => keep one of {a,b,c}). Connected components over the pair graph
+    * (graft.pipeline.ConnectedComponents — driver union-find at dup-graph
+    * scale, distributed min-label loop beyond), representative = MIN doc_id
+    * in the cluster. Ids travel as zero-padded strings so the component
+    * labeling's lexicographic min IS the numeric min. Returns
+    * (doc_id, rep_id) for every doc that appears in some pair; docs in no
+    * pair are trivially their own representative and are omitted (the
+    * caller's anti-join keeps them). */
+  def clusterReps(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.format_string
+    val pad = (c: Column) => format_string("%020d", c)
+    val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
+    val vertices = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d")))
+      .distinct().select(pad(col("d")).as("id"))
+    graft.pipeline.ConnectedComponents.run(vertices, edges)
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("rep_id"))
+  }
+
   /** Heavy-duplication corpus variant: every doc with id % `every` == 0 is
     * cloned `copies` times, each clone appending one distinguishing token —
     * clone families share all original shingles (pairwise jaccard ~ m/(m+2),

@@ -218,6 +218,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.intersect(c).length.toDouble / a.length >= 0.6)
   }
 
+  test("clusterReps: transitive chains collapse to one numeric-min representative") {
+    import spark.implicits._
+    // chain 7~3~9 plus isolated pair (20, 12); ids chosen so LEXICOGRAPHIC
+    // string-min would differ from numeric min without the zero-padding
+    val pairs = Seq((7L, 3L), (3L, 9L), (20L, 12L)).toDF("doc_a", "doc_b")
+    val reps = Dedup.clusterReps(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 12L, 20L -> 12L))
+  }
+
   test("multimodal decode: deterministic features, partition-count independent; audio keeps stub semantics") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs)
