@@ -137,6 +137,17 @@ object SparkEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** Copies with a +1000001 id offset: 1000001·48271 ≡ 71 (mod 100), so a
+    * copy's split-hash residue differs from its original's by 71 and some
+    * copies land across the train/val boundary — the planted contamination
+    * the decontamination query must catch (the +1000000 variant above
+    * shifts the residue by 0 and never crosses). */
+  private def docsPlusShiftedCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select("doc_id", "text")
+    d.union(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+  }
+
   /** Shingle sets are an explode + groupBy + join; both dedup queries walk
     * them several times (sizes + two join sides + signatures), so the frame
     * is memoized per (session, dir) and persisted — recomputing it 3-4x per
@@ -501,6 +512,16 @@ object SparkEntry {
       graft.operators.Corpus.splitCounts(tbl(s, dir, "documents"))),
     "corpus_top_terms" -> ((s, dir) =>
       graft.operators.Corpus.topTerms(tbl(s, dir, "documents"), 100)),
+    // deterministic data-mixing sample: per-language keep rates (upsample
+    // de, downsample fr, default 10%) via the split-hash residue — a pure
+    // scan-pushed filter, rerun-stable on any engine
+    "corpus_sample_mix" -> ((s, dir) =>
+      graft.operators.Corpus.sampleMix(tbl(s, dir, "documents"),
+        Map("en" -> 50, "de" -> 100, "fr" -> 25))),
+    // train->benchmark decontamination over winnow fingerprints; input
+    // plants split-crossing exact copies (see docsPlusShiftedCopies)
+    "text_contamination" -> ((s, dir) =>
+      TextStats.contaminationPairs(docsPlusShiftedCopies(s, dir))),
 
     // ---- multimodal plumbing: REAL ImageIO decode for image rows (the PNG
     // fixture encodes text-derived dims, so the oracle predicts them from
@@ -732,6 +753,37 @@ object SparkEntry {
         ("SELECT term, count(*) AS n FROM (" +
           "SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term " +
           "FROM documents) GROUP BY term ORDER BY n DESC, term LIMIT 100"),
+      "corpus_sample_mix" ->
+        ("SELECT doc_id, lang FROM documents WHERE (doc_id * 48271) % 100 < " +
+          "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 WHEN 'fr' THEN 25 ELSE 10 END"),
+      // independent winnow re-derivation (same windowed-min the
+      // text_winnow_fp twin uses) over the gram-hash dump, with the shifted
+      // copies synthesized by id arithmetic (same text => same hashes),
+      // then split + df-cap + overlap join
+      "text_contamination" ->
+        """WITH g0 AS (SELECT doc_id, pos, h FROM read_parquet('{OUT}/text_gram_hashes/*.parquet')),
+          |g AS (SELECT * FROM g0
+          |      UNION ALL
+          |      SELECT doc_id + 1000001, pos, h FROM g0 WHERE doc_id % 20 = 0),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+          |w AS (SELECT g.doc_id, g.pos, cnt.n,
+          |        min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          |      FROM g JOIN cnt USING (doc_id)),
+          |sel AS (
+          |  SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE n > 4 AND pos + 4 <= n
+          |  UNION
+          |  SELECT g.doc_id, min(h) FROM g JOIN cnt USING (doc_id) WHERE n <= 4 GROUP BY g.doc_id),
+          |sp AS (SELECT doc_id, fp,
+          |         CASE WHEN (doc_id * 48271) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+          |       FROM sel),
+          |dfc AS (SELECT fp, count(*) AS df FROM sp GROUP BY fp),
+          |cap AS (SELECT sp.doc_id, sp.fp, sp.split FROM sp JOIN dfc USING (fp) WHERE df <= 100)
+          |SELECT t.doc_id AS train_doc, v.doc_id AS val_doc, count(*) AS shared_fps
+          |FROM cap t JOIN cap v USING (fp)
+          |WHERE t.split = 'train' AND v.split = 'val'
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 3""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint FROM documents",
       // ---- golden-oracle twins (pure-Scala reference math, materialized by

@@ -47,6 +47,21 @@ object Corpus {
     hashSplit(docs, trainPct, strataCol)
       .groupBy(strataCol, "split").agg(count(lit(1)).as("n"))
 
+  /** Deterministic stratified corpus mixing: keep `rates(stratum)` percent
+    * of each stratum's documents (data-mixing weights, e.g. upsample rare
+    * languages / downsample boilerplate sources) using the same
+    * multiplicative-hash residue as the train/val split — engine-
+    * independent, rerun-stable, and a pure filter that pushes to the scan
+    * (no sampling state, no shuffle). Unlisted strata keep `defaultRate`. */
+  def sampleMix(docs: DataFrame, rates: Map[String, Int], defaultRate: Int = 10,
+                strataCol: String = "lang"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter((col("doc_id") * lit(48271L)) % 100 < rate)
+      .select(col("doc_id"), col(strataCol))
+  }
+
   /** Corpus vocabulary head: top-k whitespace terms of the lowercased text
     * with deterministic ties (count desc, term asc). Map-side partial agg
     * + a 16-byte-row shuffle; the limit is a TakeOrdered. */

@@ -117,6 +117,43 @@ object TextStats {
     out.toArray
   }
 
+  /** Train→benchmark DECONTAMINATION: (train_doc, val_doc) pairs sharing at
+    * least `minShared` winnow fingerprints — the overlap check a pretraining
+    * pipeline runs so evaluation documents leaking into the training split
+    * are caught before training, not after. Split = the deterministic
+    * arithmetic hash (Corpus.hashSplit residue); fingerprints above `maxDf`
+    * document frequency are dropped (boilerplate carries no contamination
+    * signal and its fp buckets are the quadratic hot keys at scale — same
+    * df-cap discipline as the dedup shingles). The join shuffles only
+    * (fp, doc_id) pairs; winnowSelect already emits DISTINCT fps per doc,
+    * so the shared count is a plain count(*). */
+  def contaminationPairs(docs: DataFrame, trainPct: Int = 90, k: Int = 8, w: Int = 4,
+                         minShared: Long = 3, maxDf: Long = 100): DataFrame = {
+    val fpU = udf((text: String) => winnowSelect(if (text == null) "" else text, k, w))
+    val fps = docs.select(col("doc_id"),
+        when((col("doc_id") * lit(48271L)) % 100 < trainPct, lit("train"))
+          .otherwise(lit("val")).as("split"),
+        explode(fpU(col("text"))).as("fp"))
+    // ONE shuffle keyed by fp does everything: per-fp train/val doc lists
+    // (map-side combined), the df cap as a size filter (df = |tr|+|vl|,
+    // identical to a per-fp count since winnowSelect emits distinct fps per
+    // doc), then the pair expansion — bounded at maxDf²/4 per fp. A
+    // train-side × val-side self-join spelling scans (and recomputes the
+    // fp UDF over) the corpus twice; this is one pass, and the blowup knob
+    // is explicit.
+    val pairsU = udf((tr: Seq[Long], vl: Seq[Long]) =>
+      for { t <- tr; v <- vl } yield (t, v))
+    fps.groupBy("fp").agg(
+        collect_list(when(col("split") === "train", col("doc_id"))).as("tr"),
+        collect_list(when(col("split") === "val", col("doc_id"))).as("vl"))
+      .filter(size(col("tr")) > 0 && size(col("vl")) > 0 &&
+        size(col("tr")) + size(col("vl")) <= maxDf)
+      .select(explode(pairsU(col("tr"), col("vl"))).as("p"))
+      .groupBy(col("p._1").as("train_doc"), col("p._2").as("val_doc"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val fp = udf((text: String) => winnowSelect(if (text == null) "" else text, k, w))
     docs.select(col("doc_id"), fp(col("text")).as("fps"))

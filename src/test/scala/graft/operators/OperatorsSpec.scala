@@ -218,6 +218,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.intersect(c).length.toDouble / a.length >= 0.6)
   }
 
+  test("sampleMix: deterministic per-stratum keep rates; 0 and 100 are exact") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val out = Corpus.sampleMix(d, Map("en" -> 100, "de" -> 0)).collect()
+    assert(out.forall(_.getString(1) == "en") && out.length == 200)
+    val mixed = Corpus.sampleMix(d, Map("en" -> 50), defaultRate = 10)
+    assert(mixed.collect().map(_.toSeq).toSet == mixed.collect().map(_.toSeq).toSet)
+    val n = mixed.count()
+    assert(n > 0 && n < 200) // 50% of en + 10% of de, hash-residue exact
+  }
+
+  test("contaminationPairs: identical text across the split boundary is caught; singletons are not") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // residue(d) = 71*d mod 100: d=1 -> 71 (train), d=90 -> 90 (val)
+    val d = Seq(
+      (1L, base), (90L, base),
+      (7L, "completely unrelated text that shares no eight gram with others at all")
+    ).toDF("doc_id", "text")
+    val pairs = TextStats.contaminationPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1)
+    val (t, v, shared) = pairs.head
+    assert(t == 1L && v == 90L && shared >= 3)
+  }
+
   test("clusterReps: transitive chains collapse to one numeric-min representative") {
     import spark.implicits._
     // chain 7~3~9 plus isolated pair (20, 12); ids chosen so LEXICOGRAPHIC
