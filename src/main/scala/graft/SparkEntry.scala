@@ -533,6 +533,24 @@ object SparkEntry {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.fromDocuments(tbl(s, dir, "documents")))
         .toDF().select("doc_id", "mime", "width", "height", "n_frames")
+    }),
+    // REAL image resize (fit-within-16 box): targets are integer arithmetic
+    // the twin predicts from the text-derived dims; the engine's reported
+    // new dims come from DECODING its own re-encoded payload, so the gate
+    // fails if the raster written is not the raster promised
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeImages(Multimodal.fromDocuments(tbl(s, dir, "documents")), 16)
+        .toDF().select("doc_id", "width", "height", "new_width", "new_height")
+    }),
+    // video frame decimation (every 4th 64-byte frame of the stub payload):
+    // the sampling structure (which frames, what sizes) is the SQL-gated
+    // part; frame checksums are spec-pinned (byte folds of multi-byte text
+    // are not SQL-expressible)
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.fromDocuments(tbl(s, dir, "documents")))
+        .toDF().select("doc_id", "frame_idx", "n_bytes")
     })
   )
 
@@ -873,7 +891,27 @@ object SparkEntry {
           "(1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS width, " +
           "(1 + ascii(substr(text, 2, 1)) % 64)::BIGINT AS height, " +
           "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 64 + 1 ELSE 1 END)::BIGINT AS n_frames " +
-          "FROM documents")
+          "FROM documents"),
+      "mm_resize" ->
+        """WITH i AS (SELECT doc_id,
+          |  (1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS width,
+          |  (1 + ascii(substr(text, 2, 1)) % 64)::BIGINT AS height
+          |  FROM documents WHERE doc_id % 3 = 0)
+          |SELECT doc_id, width, height,
+          |  (CASE WHEN greatest(width, height) <= 16 THEN width
+          |        ELSE greatest(1, width * 16 // greatest(width, height)) END)::BIGINT AS new_width,
+          |  (CASE WHEN greatest(width, height) <= 16 THEN height
+          |        ELSE greatest(1, height * 16 // greatest(width, height)) END)::BIGINT AS new_height
+          |FROM i""".stripMargin,
+      "mm_frame_sample" ->
+        """WITH v AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS nb
+          |           FROM documents WHERE doc_id % 3 = 2),
+          |f AS (SELECT doc_id, nb,
+          |        unnest(generate_series(0, ((nb + 63) // 64) - 1, 4)) AS frame_idx
+          |      FROM v)
+          |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+          |       least(64, nb - frame_idx * 64)::BIGINT AS n_bytes
+          |FROM f""".stripMargin
     )
   }
 }

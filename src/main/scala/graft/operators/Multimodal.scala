@@ -111,6 +111,83 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  final case class ResizedFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      new_width: Long,
+      new_height: Long,
+      n_bytes: Long)
+
+  /** Integer fit-within-box target dims (aspect preserved): unchanged when
+    * max(w,h) <= maxDim, else floor(d * maxDim / max(w,h)) clamped to >= 1.
+    * Pure integer arithmetic so the DuckDB twin computes the identical
+    * targets — the engine must then RECOVER exactly these dims by decoding
+    * its own resized payload. */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+  }
+
+  /** REAL image resize: ImageIO decode -> Graphics2D bilinear scale to the
+    * fitDims target -> PNG re-encode -> decode AGAIN to report the actual
+    * dims of the new payload (the round-trip is the verification: a resize
+    * that silently wrote the wrong raster would surface here, not
+    * downstream). Non-image mimes pass through unchanged. */
+  def resize(r: MediaRecord, maxDim: Int): ResizedFeatures =
+    if (r.mime.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable ${r.mime} payload for doc ${r.doc_id}")
+      val (tw, th) = fitDims(img.getWidth, img.getHeight, maxDim)
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val bytes = bos.toByteArray
+      val check = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      ResizedFeatures(r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+        check.getWidth.toLong, check.getHeight.toLong, bytes.length.toLong)
+    } else ResizedFeatures(r.doc_id, 0L, 0L, 0L, 0L, r.payload.length.toLong)
+
+  /** Partition-local batch resize over image rows. */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.mime.startsWith("image/")).mapPartitions(_.map(resize(_, maxDim)))
+  }
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, checksum: Long)
+
+  /** Frame sampling for (stubbed) video payloads: the payload is treated as
+    * fixed-size frames of `frameBytes`; every `stride`-th frame is emitted
+    * with its size and checksum — the decimation a video pipeline runs
+    * before feature extraction. Partition-local flatMap, no shuffle; frame
+    * selection and sizes are pure arithmetic over the payload length (the
+    * SQL-gateable structure), the checksum pins the bytes in specs. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[SampledFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.mime.startsWith("video/")).flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = f * frameBytes
+        val len = math.min(frameBytes, n - from)
+        var sum = 0L
+        var i = from
+        while (i < from + len) { sum += (r.payload(i) & 0xff); i += 1 }
+        SampledFrame(r.doc_id, f.toLong, len.toLong, sum % 9973L)
+      }
+    }
+  }
+
   /** Batched, partition-local feature extraction: decoder state amortizes
     * per partition (ImageIO reader caches; a real AV codec would open
     * here), rows streamed through it — no shuffle, parallelism = input

@@ -218,6 +218,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.intersect(c).length.toDouble / a.length >= 0.6)
   }
 
+  test("multimodal resize: real raster scaled to the integer fit-box dims; small images untouched") {
+    val big = Multimodal.resize(
+      Multimodal.MediaRecord(1L, "image/png", Multimodal.pngBytes(40, 10, 5L)), 16)
+    // fitDims(40,10,16) = (16, 10*16/40=4); new dims come from re-decoding
+    assert((big.width, big.height) == (40L, 10L))
+    assert((big.new_width, big.new_height) == (16L, 4L))
+    val small = Multimodal.resize(
+      Multimodal.MediaRecord(2L, "image/png", Multimodal.pngBytes(9, 12, 5L)), 16)
+    assert((small.new_width, small.new_height) == (9L, 12L))
+    // degenerate aspect clamps to 1, never 0
+    assert(Multimodal.fitDims(64, 1, 16) == (16, 1))
+    assert(Multimodal.fitDims(1, 64, 16) == (1, 16))
+  }
+
+  test("multimodal frame sampling: every stride-th fixed frame, tail size exact, checksum pinned") {
+    val payload = Array.tabulate(300)(i => (i % 251).toByte)
+    val frames = Multimodal.sampleFrames(
+      spark.createDataset(Seq(Multimodal.MediaRecord(7L, "video/mp4", payload)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
+      .collect().sortBy(_.frame_idx)
+    // ceil(300/64)=5 frames, stride 4 -> idx 0 and 4; tail = 300-256=44 bytes
+    assert(frames.map(f => (f.frame_idx, f.n_bytes)).toSeq == Seq((0L, 64L), (4L, 44L)))
+    def sum(from: Int, len: Int) =
+      (from until from + len).map(i => (payload(i) & 0xff).toLong).sum % 9973L
+    assert(frames(0).checksum == sum(0, 64))
+    assert(frames(1).checksum == sum(256, 44))
+    // non-video rows are filtered out
+    assert(Multimodal.sampleFrames(
+      spark.createDataset(Seq(Multimodal.MediaRecord(8L, "audio/wav", payload)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])).count() == 0)
+  }
+
   test("sampleMix: deterministic per-stratum keep rates; 0 and 100 are exact") {
     import spark.implicits._
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
