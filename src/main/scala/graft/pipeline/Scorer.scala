@@ -279,33 +279,51 @@ object Scorer {
       sweep: Boolean = true,
       numPartitions: Option[Int] = None): DataFrame = {
     val bc = spark.sparkContext.broadcast(entitySides(entities))
-    val ment0 = mentionsPrep.select(
-      col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"), col("surface"),
-      sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
-        col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
-    // numPartitions (blocked tier only — the sweep tier stays map-only with
-    // zero exchanges): pin the scoring join's width so each task's slice of
-    // fat mention structs fits the heap regardless of
-    // spark.sql.shuffle.partitions (KgPipeline.autoShufflePartitions).
-    // Repartition-by-num on BOTH join inputs: co-partitioned, no extra
-    // exchange, and AQE never coalesces an explicit width.
-    val ment = numPartitions match {
-      case Some(n) => ment0.repartition(n, col("mention_id"))
-      case None    => ment0
+    def packSide(df: DataFrame, keepCands: Boolean = false): DataFrame = {
+      val base = Seq(
+        col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"), col("surface"),
+        sideStruct(col("surface"), array().cast("array<string>"), col("mention_type"),
+          col("tf_tokens"), col("tf_counts"), col("tf_norm"), col("m_emb")).as("m_side"))
+      val cols = if (keepCands) base :+ col("cands") else base
+      df.select(cols: _*)
     }
     // left join: a mention with no blocked candidates still gets the exact
     // bound-pruned dictionary sweep (empty-dictionary corpora fall through
     // to the create-with-confidence-1.0 branch below)
     val withCands = pairs match {
       case Some(p) =>
+        // BLOCKED tier: the join SHIPS THE RAW TEXT, not the prepped side.
+        // The tf arrays + embedding are ~3 KB per mention vs ~0.4 KB for
+        // (surface, mention_type, m_x1) — at millions of mentions the fat
+        // spelling's shuffle bytes and sorter pages were the single-node
+        // envelope (BASELINE.md: 4M turns died on aggregate memory at 32
+        // threads and on spill disk at 16). tf/embedding are pure functions
+        // of m_x1, so they are re-derived AFTER the shuffle — one extra
+        // ~10 µs map per mention buys a ~4x lighter exchange; values are
+        // bit-identical (same code path as prepareMentions).
+        // numPartitions pins the width on BOTH inputs (co-partitioned,
+        // AQE never coalesces an explicit repartition-by-num).
+        val skinny = mentionsPrep.select(
+          col("mention_id"), col("conv_id"), col("turn_idx"), col("offset"),
+          col("surface"), col("mention_type"), col("m_x1"))
+        val ment = numPartitions match {
+          case Some(n) => skinny.repartition(n, col("mention_id"))
+          case None    => skinny
+        }
         val p2 = numPartitions match {
           case Some(n) => p.repartition(n, col("mention_id"))
           case None    => p
         }
         val cands = p2.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
-        ment.join(cands, Seq("mention_id"), "left_outer")
+        val joined = ment.join(cands, Seq("mention_id"), "left_outer")
+        val emb = udf((x: String) => TextSim.embed(x, cfg.embeddingDim))
+        packSide(
+          withTf(joined, col("m_x1")).withColumn("m_emb", emb(col("m_x1"))),
+          keepCands = true)
       case None =>
-        ment.withColumn("cands", lit(null).cast("array<string>"))
+        // SWEEP tier: map-only, zero exchanges — the prepped side is already
+        // on the mention row; re-deriving would be pure waste
+        packSide(mentionsPrep).withColumn("cands", lit(null).cast("array<string>"))
     }
     val bestU = bestCandidateUdf(bc, cfg, sweep = sweep || pairs.isEmpty)
     // field access on a null struct yields null, so an empty-dictionary
