@@ -15,6 +15,11 @@ run / fork := true
 // can parse Bench's single JSON line verbatim
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// no "[success] Total time: …" trailer after runMain: the driver captures a
+// fixed-size stdout TAIL and parses the last line as JSON — the trailer both
+// ate tail budget and displaced Bench's JSON line from last position
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,22 +82,33 @@ object SparkEntry {
     * index) — unpersisting what they cached. Long-lived drivers that cycle
     * sessions must call this before stopping one, or the maps accumulate
     * DataFrame references bound to dead SparkContexts (the caches key on
-    * session hashCode and are never hit again after the session stops). */
+    * session hashCode and are never hit again after the session stops).
+    *
+    * Concurrency: each map is drained with repeated filter-remove passes
+    * until a pass removes nothing, so an entry inserted by a still-running
+    * query thread DURING eviction is caught by the next pass instead of
+    * leaking (a single keySet snapshot missed it). The remaining race — an
+    * insert that lands after the final pass — is the caller's contract:
+    * quiesce the session's query threads before clearSession, same as
+    * before SparkSession.stop. */
   private[graft] def clearSession(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     val sfx = "@" + spark.hashCode()
-    kgCache.keySet.asScala.filter(_.endsWith(sfx)).toSeq
-      .foreach(k => Option(kgCache.remove(k)).foreach(_.release()))
-    writtenTriples.keySet.asScala.filter(_.endsWith(sfx)).toSeq
-      .foreach(writtenTriples.remove)
-    bucketedTables.keySet.asScala.filter(_.endsWith(sfx)).toSeq
-      .foreach(bucketedTables.remove)
-    Seq(setsCache, lshPairsCache, embCache, probeCache).foreach { c =>
-      c.keySet.asScala.filter(_.endsWith(sfx)).toSeq
-        .foreach(k => Option(c.remove(k)).foreach(_.unpersist(false)))
+    def drain[V](m: ConcurrentHashMap[String, V])(release: V => Unit): Unit = {
+      var removedAny = true
+      while (removedAny) {
+        removedAny = false
+        m.keySet.asScala.filter(_.endsWith(sfx)).toSeq.foreach { k =>
+          Option(m.remove(k)).foreach { v => release(v); removedAny = true }
+        }
+      }
     }
-    ivfCache.keySet.asScala.filter(_.endsWith(sfx)).toSeq
-      .foreach(k => Option(ivfCache.remove(k)).foreach(_._2.unpersist(false)))
+    drain(kgCache)(_.release())
+    drain(writtenTriples)(_ => ())
+    drain(bucketedTables)(_ => ())
+    Seq(setsCache, lshPairsCache, embCache, probeCache)
+      .foreach(drain(_)(_.unpersist(false)))
+    drain(ivfCache)(_._2.unpersist(false))
   }
 
   /** zh-mixed corpus scale: smaller than the Latin corpus (it gates the CJK
@@ -152,7 +163,7 @@ object SparkEntry {
     * them several times (sizes + two join sides + signatures), so the frame
     * is memoized per (session, dir) and persisted — recomputing it 3-4x per
     * query was the dominant cost of round 1's dedup benches. */
-  private val setsCache = new ConcurrentHashMap[String, DataFrame]()
+  private[graft] val setsCache = new ConcurrentHashMap[String, DataFrame]()
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     setsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ =>
       Dedup.shingleSets(tbl(s, dir, "documents"), n = 3, maxDf = 50L).persist())
@@ -523,16 +534,19 @@ object SparkEntry {
     "text_contamination" -> ((s, dir) =>
       TextStats.contaminationPairs(docsPlusShiftedCopies(s, dir))),
 
-    // ---- multimodal plumbing: REAL ImageIO decode for image rows (the PNG
-    // fixture encodes text-derived dims, so the oracle predicts them from
-    // the text column while the engine must recover them from the container
-    // bytes); audio/video remain the declared stub. n_bytes is excluded
-    // from the gated projection — a PNG's encoded length is not
-    // SQL-expressible (it still rides on MediaFeatures, spec-checked).
+    // ---- multimodal plumbing: REAL ImageIO decode for image rows and REAL
+    // AudioSystem (RIFF/WAVE header) parse for audio rows — both fixtures
+    // encode text-derived parameters (dims; sample rate + frame count), so
+    // the oracle predicts them from the text column while the engine must
+    // recover them from the container bytes. Video remains the declared
+    // stub. n_bytes is excluded from the gated projection — a PNG/WAV's
+    // encoded length is not SQL-expressible (it still rides on
+    // MediaFeatures, spec-checked).
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.fromDocuments(tbl(s, dir, "documents")))
-        .toDF().select("doc_id", "mime", "width", "height", "n_frames")
+        .toDF().select("doc_id", "mime", "width", "height", "n_frames",
+          "sample_rate", "duration_ms")
     }),
     // REAL image resize (fit-within-16 box): targets are integer arithmetic
     // the twin predicts from the text-derived dims; the engine's reported
@@ -764,15 +778,17 @@ object SparkEntry {
             |SELECT lang, doc_id, n_tokens,
             |       floor((cum - n_tokens) / 256.0)::BIGINT AS block_id
             |FROM c""".stripMargin),
+      // (((x % 100) + 100) % 100: the SQL spelling of Spark's pmod — sign-
+      // safe for negative doc_ids, identical to a bare % for non-negative)
       "corpus_split_counts" ->
-        ("SELECT lang, CASE WHEN (doc_id * 48271) % 100 < 90 THEN 'train' ELSE 'val' END AS split, " +
+        ("SELECT lang, CASE WHEN (((doc_id * 48271) % 100) + 100) % 100 < 90 THEN 'train' ELSE 'val' END AS split, " +
           "count(*) AS n FROM documents GROUP BY 1, 2"),
       "corpus_top_terms" ->
         ("SELECT term, count(*) AS n FROM (" +
           "SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term " +
           "FROM documents) GROUP BY term ORDER BY n DESC, term LIMIT 100"),
       "corpus_sample_mix" ->
-        ("SELECT doc_id, lang FROM documents WHERE (doc_id * 48271) % 100 < " +
+        ("SELECT doc_id, lang FROM documents WHERE (((doc_id * 48271) % 100) + 100) % 100 < " +
           "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 WHEN 'fr' THEN 25 ELSE 10 END"),
       // independent winnow re-derivation (same windowed-min the
       // text_winnow_fp twin uses) over the gram-hash dump, with the shifted
@@ -793,7 +809,7 @@ object SparkEntry {
           |  UNION
           |  SELECT g.doc_id, min(h) FROM g JOIN cnt USING (doc_id) WHERE n <= 4 GROUP BY g.doc_id),
           |sp AS (SELECT doc_id, fp,
-          |         CASE WHEN (doc_id * 48271) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+          |         CASE WHEN (((doc_id * 48271) % 100) + 100) % 100 < 90 THEN 'train' ELSE 'val' END AS split
           |       FROM sel),
           |dfc AS (SELECT fp, count(*) AS df FROM sp GROUP BY fp),
           |cap AS (SELECT sp.doc_id, sp.fp, sp.split FROM sp JOIN dfc USING (fp) WHERE df <= 100)
@@ -885,13 +901,22 @@ object SparkEntry {
           |SELECT b.qid, count(i.vec_id) / 5.0 AS recall_at_5
           |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
           |GROUP BY b.qid""".stripMargin,
+      // audio rows: width/height 0, n_frames = the synthesized PCM frame
+      // count, sample_rate/duration_ms from the synthesis params — the
+      // engine must recover all three by parsing the RIFF/WAVE header
       "mm_decode" ->
-        ("SELECT doc_id, " +
-          "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
-          "(1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS width, " +
-          "(1 + ascii(substr(text, 2, 1)) % 64)::BIGINT AS height, " +
-          "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 64 + 1 ELSE 1 END)::BIGINT AS n_frames " +
-          "FROM documents"),
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+          |  (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + ascii(substr(text, 1, 1)) % 64 END)::BIGINT AS width,
+          |  (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + ascii(substr(text, 2, 1)) % 64 END)::BIGINT AS height,
+          |  (CASE doc_id % 3 WHEN 0 THEN 1
+          |        WHEN 1 THEN (ascii(substr(text, 2, 1)) % 64 + 1) * 100
+          |        ELSE octet_length(encode(text)) // 64 + 1 END)::BIGINT AS n_frames,
+          |  (CASE WHEN doc_id % 3 = 1 THEN 8000 + (ascii(substr(text, 1, 1)) % 64) * 250 ELSE 0 END)::BIGINT AS sample_rate,
+          |  (CASE WHEN doc_id % 3 = 1
+          |        THEN ((ascii(substr(text, 2, 1)) % 64 + 1) * 100000) // (8000 + (ascii(substr(text, 1, 1)) % 64) * 250)
+          |        ELSE 0 END)::BIGINT AS duration_ms
+          |FROM documents""".stripMargin,
       "mm_resize" ->
         """WITH i AS (SELECT doc_id,
           |  (1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS width,

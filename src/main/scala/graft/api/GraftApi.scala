@@ -127,13 +127,22 @@ object GraftApi {
 
   /** GET /history analog (main.py:218-234): the most recent `limit`
     * decisions. The reference orders by wall-clock insert time; the engine's
-    * deterministic total order is (conv_id, turn_idx, offset) — the same
-    * recency order decisionStats' trailing window uses. */
-  def history(decisions: DataFrame, limit: Int = 50): DataFrame =
+    * deterministic total order is (ts, conv_id, turn_idx, offset) when the
+    * decisions frame carries the turn timestamp, else (conv_id, turn_idx,
+    * offset) — the same recency order decisionStats' trailing window uses.
+    * NOTE: the conv_id leg is a LEXICOGRAPHIC desc; it equals recency only
+    * for fixed-width (zero-padded) conv ids like the engine's fixtures.
+    * External corpora with unpadded ids ("conv_9" > "conv_10") should carry
+    * `ts` so the timestamp leg defines the window. */
+  def history(decisions: DataFrame, limit: Int = 50): DataFrame = {
+    val base = Seq(col("conv_id").desc, col("turn_idx").desc, col("offset").desc)
+    val order =
+      if (decisions.columns.contains("ts")) col("ts").desc +: base else base
     decisions
-      .orderBy(col("conv_id").desc, col("turn_idx").desc, col("offset").desc)
+      .orderBy(order: _*)
       .limit(limit)
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score")
+  }
 
   /** GET /stats analog (main.py:272-297): decision totals + the trailing
     * recent-window counts/rates — the identical frame the kg_decision_stats

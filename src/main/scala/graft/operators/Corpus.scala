@@ -31,15 +31,23 @@ object Corpus {
       .select(strataCol, "doc_id", "n_tokens", "block_id")
   }
 
+  /** Shared split-hash residue: pmod keeps the residue in [0, 100) for
+    * NEGATIVE ids too (Spark's % is sign-preserving, so a bare % would
+    * classify every negative-id doc as < rate — always-train / always-kept).
+    * The SQL twins spell the same thing as ((x % 100) + 100) % 100. The
+    * multiplier is small enough that id*48271 never overflows int64 for
+    * realistic ids, |id| < 1.9e14 (overflow WRAPS in Spark but ERRORS in
+    * DuckDB, so the twin would diverge — that bound is the contract). */
+  private[operators] def splitResidue(id: Column): Column =
+    pmod(id * lit(48271L), lit(100L))
+
   /** Deterministic train/val split by arithmetic hash of the id: the same
     * doc lands in the same split on any engine, any run, any partitioning.
-    * The multiplier is small enough that id*48271 never overflows int64
-    * for realistic ids (overflow WRAPS in Spark but ERRORS in DuckDB, so
-    * the twin would diverge). Per-stratum counts verify the ratio held. */
+    * Per-stratum counts verify the ratio held. */
   def hashSplit(docs: DataFrame, trainPct: Int = 90,
                 strataCol: String = "lang"): DataFrame =
     docs.select(col(strataCol), col("doc_id"),
-        when((col("doc_id") * lit(48271L)) % 100 < trainPct, lit("train"))
+        when(splitResidue(col("doc_id")) < trainPct, lit("train"))
           .otherwise(lit("val")).as("split"))
 
   def splitCounts(docs: DataFrame, trainPct: Int = 90,
@@ -58,7 +66,7 @@ object Corpus {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, lit(r)).otherwise(acc)
     }
-    docs.filter((col("doc_id") * lit(48271L)) % 100 < rate)
+    docs.filter(splitResidue(col("doc_id")) < rate)
       .select(col("doc_id"), col(strataCol))
   }
 

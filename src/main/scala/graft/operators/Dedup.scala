@@ -257,12 +257,20 @@ object Dedup {
     * (graft.pipeline.ConnectedComponents — driver union-find at dup-graph
     * scale, distributed min-label loop beyond), representative = MIN doc_id
     * in the cluster. Ids travel as zero-padded strings so the component
-    * labeling's lexicographic min IS the numeric min. Returns
+    * labeling's lexicographic min IS the numeric min — which holds ONLY for
+    * NON-NEGATIVE ids ("-5" sorts before "-19" but 5 < 19), so negative ids
+    * are rejected loudly up front (one cheap limit(1) probe of the pair
+    * frame; dup-pair frames are orders of magnitude smaller than the
+    * corpus) rather than silently electing a wrong representative. Returns
     * (doc_id, rep_id) for every doc that appears in some pair; docs in no
     * pair are trivially their own representative and are omitted (the
     * caller's anti-join keeps them). */
   def clusterReps(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.format_string
+    require(
+      pairs.filter(col("doc_a") < 0 || col("doc_b") < 0).limit(1).count() == 0,
+      "clusterReps requires non-negative doc ids (zero-padded lexicographic " +
+        "min == numeric min only holds for ids >= 0)")
     val pad = (c: Column) => format_string("%020d", c)
     val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
     val vertices = pairs.select(col("doc_a").as("d"))

@@ -8,18 +8,24 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: `javax.imageio` ships with the JDK (PNG/JPEG/GIF/
   * BMP), so image payloads are parsed for their actual pixel dimensions —
-  * no external jars, no stub. Audio/video codecs are genuinely absent in
-  * this container, so THOSE two mime families go through `decodeStub`, a
-  * clearly-marked deterministic fake; swapping in a real decoder changes
-  * only that function. Everything Spark-side is real either way: binary
-  * column schema, mime routing, partition-preserving mapPartitions (the
-  * Scala analog of Python's mapInPandas — batched, executor-local, no
-  * shuffle), and downstream columnar stats.
+  * no external jars, no stub. Audio container parsing is REAL too:
+  * `javax.sound.sampled.AudioSystem` (also pure JDK, no audio device
+  * needed) reads the RIFF/WAVE header for the actual sample rate and frame
+  * count. Video codecs are genuinely absent in this container, so ONLY that
+  * mime family goes through `decodeStub`, a clearly-marked deterministic
+  * fake; swapping in a real decoder changes only that function. Everything
+  * Spark-side is real either way: binary column schema, mime routing,
+  * partition-preserving mapPartitions (the Scala analog of Python's
+  * mapInPandas — batched, executor-local, no shuffle), and downstream
+  * columnar stats.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
+  /** width/height are image-only (0 elsewhere); sample_rate/duration_ms are
+    * audio-only (0 elsewhere); n_frames = 1 for images, PCM frame count for
+    * audio, container frame count for video. */
   final case class MediaFeatures(
       doc_id: Long,
       mime: String,
@@ -27,6 +33,8 @@ object Multimodal {
       width: Long,
       height: Long,
       n_frames: Long,
+      sample_rate: Long,
+      duration_ms: Long,
       checksum: Long)
 
   private def payloadChecksum(b: Array[Byte]): Long = {
@@ -36,29 +44,47 @@ object Multimodal {
     sum % 9973L
   }
 
-  /** Deterministic fake decode — STUB for the audio/video codecs this
-    * container lacks. Derives fake dimensions from leading payload bytes
-    * and a payload checksum; a real implementation would parse the
-    * container format here. */
+  /** Deterministic fake decode — STUB for the VIDEO codecs this container
+    * lacks (images and WAV audio are parsed for real). Derives fake
+    * dimensions from leading payload bytes and a payload checksum; a real
+    * implementation would parse the container format here. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val b = r.payload
     val b0 = if (b.length > 0) b(0) & 0xff else 0
     val b1 = if (b.length > 1) b(1) & 0xff else 0
     val frames = if (r.mime.startsWith("video")) b.length / 64L + 1L else 1L
     MediaFeatures(r.doc_id, r.mime, b.length.toLong,
-      1L + b0 % 64, 1L + b1 % 64, frames, payloadChecksum(b))
+      1L + b0 % 64, 1L + b1 % 64, frames, 0L, 0L, payloadChecksum(b))
   }
 
   /** Decode one record: REAL ImageIO parse for image mimes (actual pixel
-    * width/height from the container bytes; undecodable image payloads fail
-    * loud — a corrupt image must not yield plausible fake dimensions),
-    * `decodeStub` for audio/video. */
+    * width/height from the container bytes), REAL AudioSystem parse for
+    * audio mimes (actual sample rate + PCM frame count from the RIFF/WAVE
+    * header; duration_ms = frames * 1000 / rate, integer floor). Both fail
+    * LOUD on undecodable payloads — corrupt media must not yield plausible
+    * fake metadata. Only video still routes through `decodeStub`. */
   def decode(r: MediaRecord): MediaFeatures =
     if (r.mime.startsWith("image/")) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"undecodable ${r.mime} payload for doc ${r.doc_id}")
       MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
-        img.getWidth.toLong, img.getHeight.toLong, 1L, payloadChecksum(r.payload))
+        img.getWidth.toLong, img.getHeight.toLong, 1L, 0L, 0L, payloadChecksum(r.payload))
+    } else if (r.mime.startsWith("audio/")) {
+      val in = try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+      } catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable ${r.mime} payload for doc ${r.doc_id}: ${e.getMessage}")
+      }
+      try {
+        val rate = in.getFormat.getSampleRate.toLong
+        val frames = in.getFrameLength
+        require(rate > 0 && frames >= 0,
+          s"undecodable ${r.mime} header for doc ${r.doc_id}")
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+          0L, 0L, frames, rate, frames * 1000L / rate, payloadChecksum(r.payload))
+      } finally in.close()
     } else decodeStub(r)
 
   /** Deterministic PNG synthesis (BufferedImage + ImageIO.write): pixel
@@ -83,21 +109,54 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic canonical RIFF/WAVE synthesis: 44-byte PCM header
+    * (mono, 16-bit little-endian) + `nSamples` samples whose values are a
+    * cheap hash of (index, seed). Fixture-side only, same rationale as
+    * `pngBytes`; `decode` treats the result as an opaque container the JDK
+    * WAV reader must parse. */
+  def wavBytes(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(((i * 2654435761L + seed * 40503L) & 0xffffL).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Synthesize a media table from the documents table: mime routed by id;
     * `image/png` rows carry REAL PNG bytes whose pixel dimensions derive
-    * from the text's first two UTF-8 bytes (1 + b % 64 — the formula the
-    * DuckDB oracle twin can compute from the text column, closing the loop
-    * decode-side: ImageIO must recover exactly those dims from the
-    * container). Audio/video payloads remain the UTF-8 text bytes standing
-    * in for encoded media. Deterministic throughout. */
+    * from the text's first two UTF-8 bytes (1 + b % 64), and `audio/wav`
+    * rows carry REAL RIFF/WAVE bytes whose sample rate (8000 + b0%64 * 250)
+    * and frame count ((b1%64 + 1) * 100) derive from the same two bytes —
+    * the formulas the DuckDB oracle twin computes from the text column,
+    * closing the loop decode-side: ImageIO / AudioSystem must recover
+    * exactly those values from the container bytes. Video payloads remain
+    * the UTF-8 text bytes standing in for encoded media (the one remaining
+    * stub family). Deterministic throughout. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val png = udf { (docId: Long, text: String) =>
+    def textBytes(text: String): (Int, Int) = {
       val b = (if (text == null) "" else text).getBytes("UTF-8")
-      val b0 = if (b.length > 0) b(0) & 0xff else 0
-      val b1 = if (b.length > 1) b(1) & 0xff else 0
+      (if (b.length > 0) b(0) & 0xff else 0, if (b.length > 1) b(1) & 0xff else 0)
+    }
+    val png = udf { (docId: Long, text: String) =>
+      val (b0, b1) = textBytes(text)
       pngBytes(1 + b0 % 64, 1 + b1 % 64, docId)
+    }
+    val wav = udf { (docId: Long, text: String) =>
+      val (b0, b1) = textBytes(text)
+      wavBytes(8000 + (b0 % 64) * 250, (b1 % 64 + 1) * 100, docId)
     }
     docs.select(
         col("doc_id"),
@@ -107,6 +166,7 @@ object Multimodal {
         col("text"))
       .select(col("doc_id"), col("mime"),
         when(col("mime") === "image/png", png(col("doc_id"), col("text")))
+          .when(col("mime") === "audio/wav", wav(col("doc_id"), col("text")))
           .otherwise(encode(col("text"), "UTF-8")).as("payload"))
       .as[MediaRecord]
   }

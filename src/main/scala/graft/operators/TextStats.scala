@@ -130,8 +130,9 @@ object TextStats {
   def contaminationPairs(docs: DataFrame, trainPct: Int = 90, k: Int = 8, w: Int = 4,
                          minShared: Long = 3, maxDf: Long = 100): DataFrame = {
     val fpU = udf((text: String) => winnowSelect(if (text == null) "" else text, k, w))
+    // pmod residue (Corpus.splitResidue): sign-safe for negative doc_ids
     val fps = docs.select(col("doc_id"),
-        when((col("doc_id") * lit(48271L)) % 100 < trainPct, lit("train"))
+        when(Corpus.splitResidue(col("doc_id")) < trainPct, lit("train"))
           .otherwise(lit("val")).as("split"),
         explode(fpU(col("text"))).as("fp"))
     // ONE shuffle keyed by fp does everything: per-fp train/val doc lists

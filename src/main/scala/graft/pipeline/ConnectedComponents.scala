@@ -58,6 +58,17 @@ object ConnectedComponents {
       .toDF("id", "component")
   }
 
+  /** The RDD physically backing a localCheckpoint'd frame (its analyzed
+    * plan is a LogicalRDD over the checkpointed rows). DataFrame.unpersist
+    * is a no-op on checkpointed frames — only CacheManager entries are
+    * evicted — so freeing the MEMORY_AND_DISK checkpoint blocks needs the
+    * RDD itself. None for non-checkpoint plans. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
                      checkpointEvery: Int = 3, onRounds: Int => Unit = _ => ()): DataFrame = {
     // SEVER the input lineage before iterating (localCheckpoint, not cache):
@@ -74,6 +85,11 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
     var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint(true)
+    // checkpoint blocks the CURRENT labels lineage may still reach (eager
+    // checkpoints sever everything before them, so each new checkpoint
+    // makes the previous generation's blocks unreachable and freeable —
+    // a long-lived driver cycling many CC runs must not wait for RDD GC)
+    var liveCp: List[org.apache.spark.rdd.RDD[_]] = checkpointRdd(labels).toList
     var iter = 0
     var converged = false
     val dbg = sys.env.get("GRAFT_CC_DEBUG").contains("1")
@@ -85,18 +101,32 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("component"))
       val next = labels.select("id", "component").union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
-      val stepped =
-        if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next.cache()
+      val atBoundary = (iter + 1) % checkpointEvery == 0
+      val stepped = if (atBoundary) next.localCheckpoint(true) else next.cache()
       val changed = stepped.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist(false)
+      labels.unpersist(false) // frees cache()'d rounds; no-op on checkpoints
       labels = stepped
+      if (atBoundary) {
+        // the new EAGER checkpoint is materialized (the changed-count above
+        // forced it) with truncated lineage, so no later round can recompute
+        // through the previous generation's checkpoint blocks — free them
+        liveCp.foreach(_.unpersist(false))
+        liveCp = checkpointRdd(stepped).toList
+      }
       converged = changed == 0
       iter += 1
       if (dbg) { System.err.println(f"[cc] round $iter ${(System.nanoTime()-tPrev)/1e9}%.2fs changed=$changed"); tPrev = System.nanoTime() }
     }
-    bidir.unpersist(false)
     onRounds(iter)
-    labels
+    // sever the result's lineage so bidir and the last in-loop checkpoint
+    // can be freed NOW (a cache()'d final round still references both for
+    // eviction-recompute; an extra copy of the small label frame is cheaper
+    // than leaking corpus-scale checkpoint blocks until RDD GC)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    liveCp.foreach(_.unpersist(false))
+    checkpointRdd(bidir).foreach(_.unpersist(false))
+    out
   }
 }

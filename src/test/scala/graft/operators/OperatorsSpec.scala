@@ -286,20 +286,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 12L, 20L -> 12L))
   }
 
-  test("multimodal decode: deterministic features, partition-count independent; audio keeps stub semantics") {
+  test("multimodal decode: deterministic features, partition-count independent; video keeps stub semantics") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
     assert(f1.sameElements(f2))
-    // audio rows (doc_id % 3 == 1) carry text bytes through the stub
-    val audio = f1.find(_.mime == "audio/wav").get
-    val text = docs.filter(col("doc_id") === audio.doc_id)
+    // video rows (doc_id % 3 == 2) carry text bytes through the stub
+    val video = f1.find(_.mime == "video/mp4").get
+    val text = docs.filter(col("doc_id") === video.doc_id)
       .collect().head.getAs[String]("text")
     val bytes = text.getBytes("UTF-8")
-    assert(audio.n_bytes == bytes.length.toLong)
-    assert(audio.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 9973L)
-    assert(audio.width == 1L + (bytes(0) & 0xff) % 64)
+    assert(video.n_bytes == bytes.length.toLong)
+    assert(video.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 9973L)
+    assert(video.width == 1L + (bytes(0) & 0xff) % 64)
+    assert(video.n_frames == bytes.length / 64L + 1L)
+    assert(video.sample_rate == 0L && video.duration_ms == 0L)
+  }
+
+  test("multimodal audio decode is REAL: AudioSystem recovers the WAV header fields") {
+    import spark.implicits._
+    // hand-built canonical WAV round-trip: synth -> JDK parse must see the
+    // exact rate and frame count; duration is the integer-floor millisecond
+    val hand = Multimodal.decode(
+      Multimodal.MediaRecord(7L, "audio/wav", Multimodal.wavBytes(11025, 733, 99L)))
+    assert(hand.sample_rate == 11025L && hand.n_frames == 733L)
+    assert(hand.duration_ms == 733L * 1000L / 11025L)
+    assert(hand.width == 0L && hand.height == 0L)
+    // fixture path: rate/frames derive from the text's first two bytes
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .collect().filter(_.mime == "audio/wav")
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val text = docs.filter(col("doc_id") === r.doc_id)
+        .collect().head.getAs[String]("text")
+      val b = text.getBytes("UTF-8")
+      val rate = 8000L + ((b(0) & 0xff) % 64) * 250L
+      val frames = ((b(1) & 0xff) % 64 + 1L) * 100L
+      assert(r.sample_rate == rate, s"doc ${r.doc_id}")
+      assert(r.n_frames == frames, s"doc ${r.doc_id}")
+      assert(r.duration_ms == frames * 1000L / rate, s"doc ${r.doc_id}")
+      assert(r.n_bytes == 44L + frames * 2L) // canonical header + 16-bit mono PCM
+    }
+    // corrupt audio payloads fail loud, not with fake metadata
+    intercept[Exception] {
+      Multimodal.decode(Multimodal.MediaRecord(1L, "audio/wav", Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("clusterReps rejects negative ids loudly (padded lexicographic min != numeric min there)") {
+    import spark.implicits._
+    val pairs = Seq((-5L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] { Dedup.clusterReps(pairs) }
+  }
+
+  test("split-hash residue is sign-safe: negative ids split/sample like positives, not always-train") {
+    import spark.implicits._
+    val d = (-200L until 200L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val splits = Corpus.hashSplit(d, trainPct = 90).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    // negative ids must land in BOTH splits (sign-preserving % sent them all to train)
+    val negSplits = splits.filter(_._1 < 0).values.toSet
+    assert(negSplits == Set("train", "val"))
+    // and the kept fraction of a 50% mix is ~half on the negative side too
+    val mixed = Corpus.sampleMix(d, Map("en" -> 50)).collect().map(_.getLong(0))
+    val negKept = mixed.count(_ < 0)
+    assert(negKept > 50 && negKept < 150, s"negKept=$negKept")
   }
 
   test("multimodal image decode is REAL: ImageIO recovers the encoded PNG dimensions") {
