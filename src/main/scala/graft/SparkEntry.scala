@@ -231,6 +231,21 @@ object SparkEntry {
     })
   }
 
+  /** zh/mixed documents-table size, sf-scaled like the other fixtures. */
+  private[graft] def zhDocCountFor(sfDir: String): Int = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(80, (sf * 4000).toInt)
+  }
+
+  /** zh/en mixed documents table (Synth.zhDocuments — deterministic,
+    * driver-sized LocalTableScan; the oracle twins read the identical rows
+    * from the {ORA}/fixtures_zh_docs dump Verify writes). */
+  private def zhDocsTbl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Synth.zhDocuments(zhDocCountFor(dir)).toDF("doc_id", "lang", "text")
+  }
+
   /** Perturbed probe vectors planted from the corpus (vec_id%10==0):
     * probe = [v1+0.05, v2..v64], probe_id = vec_id+100000. Memoized +
     * persisted per (session, dir) like prepEmb. */
@@ -516,6 +531,24 @@ object SparkEntry {
     // DuckDB, same pattern as dedup_simhash signatures)
     "text_gram_hashes" -> ((s, dir) => TextStats.gramHashFrame(tbl(s, dir, "documents"))),
 
+    // ---- zh/mixed text-operator gates (round-5: the KG pipeline was CJK-
+    // capable since r4 but the text OPERATORS tokenized whitespace-only, so
+    // unsegmented zh — the reference's own corpus language — degraded
+    // silently: one giant token per sentence run. These four run the
+    // CJK-aware tokenizer (TextOps.cjkPattern, shared verbatim with the
+    // DuckDB twins as a RE2 literal) over the zh/en mixed documents fixture.
+    "text_token_count_zh" -> ((s, dir) => TextStats.tokenCounts(zhDocsTbl(s, dir))),
+    "text_quality_zh" -> ((s, dir) =>
+      TextStats.quality(zhDocsTbl(s, dir), cjk = true, stopList = TextStats.zhStopchars)),
+    "corpus_top_terms_zh" -> ((s, dir) =>
+      graft.operators.Corpus.topTerms(zhDocsTbl(s, dir), 50, cjk = true)),
+    // char-3-gram jaccard over the CJK tokens: the planted zh near-dup
+    // pairs are invisible to whitespace shingles (each doc is ~3 giant
+    // tokens) and ~0.9 jaccard at char grain
+    "dedup_ngram_jaccard_zh" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Dedup.shingleSets(zhDocsTbl(s, dir), n = 3, maxDf = 100L, cjk = true), 0.5)),
+
     // ---- corpus preparation (pretraining-batch shaping)
     "corpus_pack_blocks" -> ((s, dir) =>
       graft.operators.Corpus.packBlocks(tbl(s, dir, "documents"), 256L)),
@@ -742,8 +775,57 @@ object SparkEntry {
       "text_token_count" ->
         ("SELECT doc_id, length(text)::BIGINT AS n_chars, " +
           "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens, " +
-          s"len(regexp_extract_all(lower(text), '${graft.operators.TextOps.bpePattern}'))::BIGINT AS n_bpe_tokens " +
+          s"len(regexp_extract_all(lower(text), '${graft.operators.TextOps.bpePattern}'))::BIGINT AS n_bpe_tokens, " +
+          s"len(regexp_extract_all(text, '${graft.operators.TextOps.cjkPatternSql}'))::BIGINT AS n_cjk_tokens " +
           "FROM documents"),
+      "text_token_count_zh" ->
+        ("SELECT doc_id, length(text)::BIGINT AS n_chars, " +
+          "len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens, " +
+          s"len(regexp_extract_all(lower(text), '${graft.operators.TextOps.bpePattern}'))::BIGINT AS n_bpe_tokens, " +
+          s"len(regexp_extract_all(text, '${graft.operators.TextOps.cjkPatternSql}'))::BIGINT AS n_cjk_tokens " +
+          "FROM read_parquet('{ORA}/fixtures_zh_docs/*.parquet')"),
+      "text_quality_zh" -> {
+        val zhStop = TextStats.zhStopchars.map(w => s"'$w'").mkString("[", ", ", "]")
+        val cjk = graft.operators.TextOps.cjkPatternSql
+        s"""WITH w AS (SELECT doc_id, text,
+           |  regexp_extract_all(text, '$cjk') AS ws
+           |  FROM read_parquet('{ORA}/fixtures_zh_docs/*.parquet')),
+           |f AS (SELECT doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len(ws)::BIGINT AS n_words,
+           |  list_sum([length(x)::BIGINT for x in ws])::BIGINT AS sum_len,
+           |  length(regexp_replace(lower(text), '[a-z0-9 \\x{4e00}-\\x{9fff}]', '', 'g'))::BIGINT AS n_punct,
+           |  len(list_filter(ws, x -> list_contains($zhStop, x)))::BIGINT AS n_stop FROM w)
+           |SELECT doc_id, n_chars, n_words,
+           |  sum_len / n_words AS avg_word_len,
+           |  n_punct / n_chars AS punct_ratio,
+           |  n_stop / n_words AS stopword_ratio,
+           |  (n_words >= 5 AND sum_len / n_words <= 12.0 AND n_punct / n_chars <= 0.2) AS keep
+           |FROM f""".stripMargin
+      },
+      "corpus_top_terms_zh" ->
+        (s"SELECT term, count(*) AS n FROM (" +
+          s"SELECT unnest(regexp_extract_all(lower(text), '${graft.operators.TextOps.cjkPatternSql}')) AS term " +
+          "FROM read_parquet('{ORA}/fixtures_zh_docs/*.parquet')) " +
+          "GROUP BY term ORDER BY n DESC, term LIMIT 50"),
+      "dedup_ngram_jaccard_zh" ->
+        s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '${graft.operators.TextOps.cjkPatternSql}') AS ws
+           |  FROM read_parquet('{ORA}/fixtures_zh_docs/*.parquet')),
+           |sh AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+           |                               for i in generate_series(1, len(ws)-2)])) AS shingle
+           |  FROM w),
+           |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           |s AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= 100),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+           |i AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+           |  FROM s a JOIN s b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, cnt / (sa.sz + sb.sz - cnt) AS jaccard
+           |FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.5""".stripMargin,
       "text_quality" ->
         ("""WITH w AS (SELECT doc_id, text,
            |  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),

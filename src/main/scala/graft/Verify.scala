@@ -105,5 +105,11 @@ object Verify {
     write("kg_decisions_zh", zhGolden.decisions.toDF()
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score"))
     write("kg_triples_zh", zhGolden.triples.toSeq.toDF("subj", "pred", "obj"))
+
+    // zh/mixed documents fixture for the round-5 text-operator twins
+    // (token counts / quality / vocab head / char-n-gram dedup re-derive
+    // over these identical rows with DuckDB's RE2 CJK tokenizer)
+    write("fixtures_zh_docs",
+      Synth.zhDocuments(SparkEntry.zhDocCountFor(sfDir)).toDF("doc_id", "lang", "text"))
   }
 }

@@ -297,6 +297,40 @@ object Synth {
     out.result()
   }
 
+  /** zh/en mixed DOCUMENTS table (doc_id, lang, text) for the text-operator
+    * gates (token counts, quality, vocab head, n-gram dedup): ~80% zh docs
+    * of unsegmented Han sentences with CJK punctuation separators, ~20%
+    * Latin docs, plus planted near-duplicates — every 10th doc cloned with
+    * a one-token suffix tweak (char-3-gram jaccard ~0.9, far above the 0.5
+    * gate threshold; the whitespace tokenizer sees each zh doc as ~3 giant
+    * tokens and is structurally blind to these pairs). Deterministic, own
+    * seed; ids are non-negative (clusterReps contract). */
+  def zhDocuments(nDocs: Int, seed: Long = 42L): Seq[(Long, String, String)] = {
+    val rnd = new Random(seed + 21)
+    val base = (0 until nDocs).map { i =>
+      if (i % 5 == 4) {
+        val words = (0 until 10 + rnd.nextInt(8))
+          .map(_ => fillerVocab(rnd.nextInt(fillerVocab.size)))
+        (i.toLong, "en", words.mkString(" "))
+      } else {
+        val sb = new StringBuilder
+        val sents = 2 + rnd.nextInt(3)
+        var s = 0
+        while (s < sents) {
+          sb.append(zhRun(rnd, zhFillerVocab, 3 + rnd.nextInt(3)))
+          if (rnd.nextBoolean()) sb.append(zhRun(rnd, zhDefnVocab, 2 + rnd.nextInt(3)))
+          sb.append(if (s == sents - 1) "。" else "，")
+          s += 1
+        }
+        (i.toLong, "zh", sb.toString)
+      }
+    }
+    val dups = base.filter(_._1 % 10 == 0).map { case (id, lang, t) =>
+      (id + 100000L, lang, t + (if (lang == "zh") "另见记录" else " extra note"))
+    }
+    base ++ dups
+  }
+
   /** Deterministic transcripts with planted mentions. */
   def transcripts(spec: Spec, dict: Seq[EntityRecord]): Seq[Turn] = {
     val rnd = new Random(spec.seed + 1)

@@ -70,11 +70,17 @@ object Corpus {
       .select(col("doc_id"), col(strataCol))
   }
 
-  /** Corpus vocabulary head: top-k whitespace terms of the lowercased text
-    * with deterministic ties (count desc, term asc). Map-side partial agg
-    * + a 16-byte-row shuffle; the limit is a TakeOrdered. */
-  def topTerms(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(TextOps.words(lower(col("text")))).as("term"))
+  /** Corpus vocabulary head: top-k terms of the lowercased text with
+    * deterministic ties (count desc, term asc). `cjk` switches the term
+    * grain to the CJK-aware tokenizer (per-Han-char terms — whitespace
+    * terms on unsegmented zh are whole sentences, a useless vocabulary).
+    * Map-side partial agg + a 16-byte-row shuffle; the limit is a
+    * TakeOrdered. */
+  def topTerms(docs: DataFrame, k: Int, cjk: Boolean = false): DataFrame = {
+    val terms =
+      if (cjk) TextOps.cjkTokens(lower(col("text"))) else TextOps.words(lower(col("text")))
+    docs.select(explode(terms).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
+  }
 }

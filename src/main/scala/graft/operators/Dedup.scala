@@ -68,10 +68,17 @@ object Dedup {
     * allocates a slice per position, and the join shuffled the exploded
     * shingle strings twice where the window shuffles them once. */
   def shingleSets(docs: DataFrame, n: Int, maxDf: Long,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  cjk: Boolean = false): DataFrame = {
+    // `cjk`: tokenize via the shared CJK-aware regex (one token per Han
+    // char, non-Han runs split on spaces — TextOps.cjkPattern, identical in
+    // the DuckDB twin) so unsegmented zh shingles are char n-grams instead
+    // of one giant whitespace "token" per sentence run
     val shingleUdf = udf { text: String =>
-      val ws = if (text == null) Array.empty[String]
-               else text.split(" ").filter(_.nonEmpty)
+      val ws =
+        if (text == null) Array.empty[String]
+        else if (cjk) TextOps.cjkTokenize(text)
+        else text.split(" ").filter(_.nonEmpty)
       if (ws.length < n) Array.empty[String]
       else Array.tabulate(ws.length - n + 1)(i => ws.slice(i, i + n).mkString(" ")).distinct
     }

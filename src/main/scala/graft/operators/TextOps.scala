@@ -24,6 +24,35 @@ object TextOps {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(bpePattern), lit(0))
 
+  /** CJK-aware tokenization: one token per Han character (Chinese carries
+    * no word spaces — the reference's own corpus language), non-Han runs
+    * split on spaces. On pure-Latin text this degenerates to exactly
+    * `words` (non-space runs), so it is safe as a default at corpus scale.
+    * Pure regex, so the semantics are IDENTICAL in Spark (java.util.regex)
+    * and the DuckDB twin (RE2 spelling `cjkPatternSql`) — the per-char Han
+    * rule needs only literal code-point ranges, which both engines share.
+    * This is the operator-layer sibling of TextSim.mentionTokens (which
+    * additionally treats CJK punctuation as separators for scoring
+    * parity); dedup/quality/vocab stats only need the char-grain split. */
+  val cjkPattern = "[一-鿿]|[^ 一-鿿]+"
+
+  /** The same pattern in DuckDB/RE2 spelling (for oracle twin SQL). */
+  val cjkPatternSql = "[\\x{4e00}-\\x{9fff}]|[^ \\x{4e00}-\\x{9fff}]+"
+
+  def cjkTokens(text: Column): Column =
+    regexp_extract_all(text, lit(cjkPattern), lit(0))
+
+  private val cjkRe = java.util.regex.Pattern.compile(cjkPattern)
+
+  /** JVM-side twin of `cjkTokens` for UDF paths (shingling). */
+  def cjkTokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val m = cjkRe.matcher(text)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) buf += m.group()
+    buf.toArray
+  }
+
   /** Count of array elements that appear in a fixed marker set. */
   def markerHits(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isin(markers.map(lit): _*))).cast("long")

@@ -15,6 +15,13 @@ object TextStats {
     "the", "and", "for", "that", "with", "this", "from", "have", "are", "was",
     "not", "but", "his", "her", "they", "you", "all", "can", "had", "one")
 
+  /** zh single-char function/filler tokens for CJK quality scoring — the
+    * char-grain tokenizer emits one token per Han character, so the stop
+    * set is per-character too (shared with the SQL oracle). */
+  val zhStopchars: Seq[String] = Seq(
+    "的", "是", "不", "了", "在", "有", "我", "们", "一", "下",
+    "相", "关", "情", "况", "这", "个", "和", "与", "讨", "论")
+
   /** Language marker words (tiny function-word sets; the ID heuristic is
     * hit-count argmax with deterministic ties). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -24,22 +31,32 @@ object TextStats {
     "fr" -> Seq("le", "les", "des", "une", "pour", "avec", "est", "dans"),
     "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "wo3", "ta1"))
 
-  /** doc_id, n_chars, whitespace-token and BPE-ish-token counts. */
+  /** doc_id, n_chars, whitespace-token, BPE-ish-token and CJK-aware token
+    * counts (n_cjk_tokens == n_ws_tokens on pure-Latin text; on unsegmented
+    * zh it counts per-character — the whitespace count there is one giant
+    * "token" per punctuation-free run, the round-4 degradation). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(TextOps.words(col("text"))).cast("long").as("n_ws_tokens"),
-      size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+      size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      size(TextOps.cjkTokens(col("text"))).cast("long").as("n_cjk_tokens"))
 
   /** Quality features + keep flag. avg_word_len and ratios are divisions of
-    * exact integer counts (bit-identical cross-engine). */
-  def quality(docs: DataFrame): DataFrame = {
-    val ws = TextOps.words(col("text"))
+    * exact integer counts (bit-identical cross-engine). With `cjk` the
+    * word grain is the CJK-aware tokenizer, Han chars stop counting as
+    * punctuation, and the stop set should be `zhStopchars` — whitespace
+    * tokenization scored every unsegmented zh doc as one enormous word
+    * (avg_word_len = run length => keep=false regardless of content). */
+  def quality(docs: DataFrame, cjk: Boolean = false,
+              stopList: Seq[String] = stopwords): DataFrame = {
+    val ws = if (cjk) TextOps.cjkTokens(col("text")) else TextOps.words(col("text"))
+    val punctClass = if (cjk) "[a-z0-9 一-鿿]" else "[a-z0-9 ]"
     val nWords = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
-    val nPunct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
-    val nStop = TextOps.markerHits(ws, stopwords)
+    val nPunct = length(regexp_replace(lower(col("text")), punctClass, "")).cast("long")
+    val nStop = TextOps.markerHits(ws, stopList)
     docs.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),

@@ -334,6 +334,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("CJK tokenizer: per-char Han, space-split Latin, identical to words() on pure Latin") {
+    import spark.implicits._
+    assert(TextOps.cjkTokenize("云岭医院，治疗 abc def").toSeq ==
+      Seq("云", "岭", "医", "院", "，", "治", "疗", "abc", "def"))
+    assert(TextOps.cjkTokenize("plain latin words").toSeq == Seq("plain", "latin", "words"))
+    // Column path agrees with the JVM path, and with words() on Latin docs
+    val d = Seq((1L, "云岭医院安排会议"), (2L, "check the report")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextOps.cjkTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == TextOps.cjkTokenize("云岭医院安排会议").toSeq)
+    assert(got(2L) == Seq("check", "the", "report"))
+  }
+
+  test("zh near-dup docs: char-3-gram jaccard catches planted pairs whitespace shingles cannot see") {
+    import spark.implicits._
+    val zh = graft.fixtures.Synth.zhDocuments(80).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSets(zh, 3, 100L, cjk = true), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted clone (id + 100000, one-token suffix tweak) is found
+    val planted = (0L until 80L by 10L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs)}")
+    // whitespace shingling is structurally blind to the zh pairs (each zh
+    // doc is a handful of giant punctuation-delimited tokens)
+    val wsPairs = Dedup.jaccardPairs(Dedup.shingleSets(zh, 3, 100L), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zhPlanted = planted.filter { case (a, _) => a % 5 != 4 }
+    assert(zhPlanted.intersect(wsPairs).isEmpty)
+  }
+
+  test("zh quality via CJK grain: zh docs get realistic word stats instead of one giant token") {
+    import spark.implicits._
+    val zh = graft.fixtures.Synth.zhDocuments(80).toDF("doc_id", "lang", "text")
+    val q = TextStats.quality(zh, cjk = true, stopList = TextStats.zhStopchars)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val zhRows = zh.filter(col("lang") === "zh").collect().map(_.getLong(0))
+    zhRows.foreach { id =>
+      val r = q(id)
+      assert(r.getAs[Double]("avg_word_len") <= 2.0, s"doc $id") // Han chars are 1-char tokens
+      assert(r.getAs[Long]("n_words") >= 5L, s"doc $id")
+    }
+    // whitespace grain on the same docs: one giant word, keep=false
+    val ws = TextStats.quality(zh).collect().map(r => r.getLong(0) -> r).toMap
+    zhRows.foreach { id => assert(!ws(id).getAs[Boolean]("keep"), s"doc $id") }
+  }
+
   test("clusterReps rejects negative ids loudly (padded lexicographic min != numeric min there)") {
     import spark.implicits._
     val pairs = Seq((-5L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
