@@ -30,10 +30,23 @@ import org.apache.spark.sql.SparkSession
   * corpus (template families of 400 docs sharing prefix shingles, pairwise
   * jaccard ~0.2, NO true pairs) where the exhaustive shingle-bucket join
   * pays df^2 rows per boilerplate shingle and LSH stays linear. Both
-  * operators must return identical pair counts.
+  * operators must return identical pair counts. Round-5 evidence protocol
+  * (the r4 artifact showed 0.777x where BASELINE claimed 2.5x — a cache-
+  * state ambiguity, resolved by measuring, not averaging): both paths read
+  * the SAME pre-materialized persisted shingle-set frame (memo_state
+  * "sets_persisted_warm" in the JSON), run ALTERNATING exhaustive/LSH for
+  * `SPARK_GRAFT_HEAVY_RUNS` (default 3) rounds, and the speedup is the
+  * ratio of MEDIANS with every per-run time reported alongside.
   *
   * Query failures are NOT swallowed: they surface in an "errors" object and
   * on stderr (a broken query must never read as a fast success).
+  *
+  * Output contract: the LAST stdout line is a COMPACT JSON object (metric/
+  * value/unit/queries/sf plus abbreviated headline fields) sized to survive
+  * the driver's 2000-char stdout-tail capture intact (build.sbt turns the
+  * sbt "[success]" trailer off for the same reason). The FULL document —
+  * per-run spreads, error texts, retry provenance — is printed first and
+  * written to /tmp/graft_bench.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -86,6 +99,7 @@ object Bench {
     // df the exhaustive join's per-shingle pair blowup is quadratic in the
     // family size while LSH signatures stay linear in set rows
     var heavyJson = "{}"
+    var heavyCompact = "{}"
     // cleanup in finally: a failure mid-measurement must not leave the
     // boilerplate shingle sets / LSH candidates cached through the scaling
     // section that follows in this session
@@ -100,10 +114,30 @@ object Bench {
       def t1[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
-      val (nEx, tEx) = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
-      val (nLsh, tLsh) = t1(graft.operators.Dedup
-        .minhashLsh(bs, 0.6, 64, 16, onCache = c => lshCand = Some(c)).count())
-      heavyJson = f"""{"set_rows":$nBoiler,"exhaustive_sec":$tEx%.3f,"lsh_sec":$tLsh%.3f,"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${tEx / tLsh}%.3f,"equal":${nEx == nLsh}}"""
+      // evidence protocol (scaladoc): shared warm input, alternating runs,
+      // medians — per-run times all reported so variance is auditable
+      val heavyRuns = sys.env.getOrElse("SPARK_GRAFT_HEAVY_RUNS", "3").toInt
+      var nEx = -1L; var nLsh = -1L
+      val exT = scala.collection.mutable.ArrayBuffer[Double]()
+      val lshT = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to heavyRuns).foreach { _ =>
+        val (ne, te) = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
+        nEx = ne; exT += te
+        var cand: Option[org.apache.spark.sql.DataFrame] = None
+        val (nl, tl) = t1(graft.operators.Dedup
+          .minhashLsh(bs, 0.6, 64, 16, onCache = c => { cand = Some(c); lshCand = Some(c) })
+          .count())
+        nLsh = nl; lshT += tl
+        cand.foreach(_.unpersist(false)) // each round re-derives its own candidates
+      }
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+      val (mEx, mLsh) = (med(exT.toSeq), med(lshT.toSeq))
+      def runsJson(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
+      heavyJson = f"""{"set_rows":$nBoiler,"memo_state":"sets_persisted_warm","runs":$heavyRuns,"exhaustive_sec":$mEx%.3f,"lsh_sec":$mLsh%.3f,"ex_runs":${runsJson(exT.toSeq)},"lsh_runs":${runsJson(lshT.toSeq)},"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${mEx / mLsh}%.3f,"equal":${nEx == nLsh}}"""
+      heavyCompact = f"""{"memo_state":"sets_persisted_warm","exhaustive_sec":$mEx%.2f,"lsh_sec":$mLsh%.2f,"lsh_speedup":${mEx / mLsh}%.2f,"equal":${nEx == nLsh}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup_heavy FAILED: ${e.getMessage}")
       errors("dedup_heavy") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -197,8 +231,8 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // 3-decimal query times: sub-ms precision is noise here, and the full
-    // Double repr doubled the JSON line's size (see the file-dump note below)
+    // 3-decimal query times in the FULL document: sub-ms precision is noise
+    // here, and the full Double repr doubled the JSON line's size
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
@@ -208,16 +242,34 @@ object Bench {
     val total = kgCold + results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}"""
+    // full document: printed first (humans, logs) and written to the file
+    // (the durable machine-readable copy)
     println(json)
-    // ALSO dumped to a file: the one-line JSON outgrew the driver's stdout
-    // tail buffer in round 3 (the machine-readable artifact came back
-    // unparsed even though the run was healthy) — the file is the durable
-    // copy, stdout stays the contract
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench-json file dump failed: ${e.getMessage}")
     }
+    // COMPACT line LAST: the driver captures a 2000-char stdout tail and
+    // parses its last line — rounds 3 AND 4 shipped "parsed": null because
+    // the full line outgrew that window. This line keeps the contract
+    // fields (metric/value/unit/queries/sf) with 2-decimal times, medians
+    // only for scaling, error NAMES only — and a loud stderr warning if it
+    // ever approaches the budget again.
+    val qsC = results.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // error/retry detail only when present (the healthy line stays lean;
+    // full texts are always in the file)
+    val errPart =
+      if (errors.isEmpty && retries.isEmpty) ""
+      else s""","error_queries":${errors.keys.take(5).map(jq).mkString("[", ",", "]")},"n_retries":${retries.size}"""
+    val scalingC = scaling.map { case (c, runs) =>
+      f""""$c":${median(runs)}%.0f""" }.mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact JSON line ${compact.length} chars" +
+        " — approaching the 2000-char driver tail budget, trim fields")
+    println(compact)
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
   }
 }

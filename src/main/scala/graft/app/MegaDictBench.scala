@@ -95,10 +95,16 @@ object MegaDictBench {
     // cluster turns instead of buying bigger executors
     val shufflePartitions =
       sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(cores)
+    // GRAFT_CODEC: shuffle/spill block compression codec (default lz4).
+    // zstd trades ~free CPU here for ~2x the compression ratio on the
+    // text-ish pair exchanges — the knob that matters when the envelope is
+    // aggregate SPILL DISK, not heap (the 4M-turn cell, BASELINE.md)
+    val codec = sys.env.getOrElse("GRAFT_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-megadict-$nDict")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.io.compression.codec", codec)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

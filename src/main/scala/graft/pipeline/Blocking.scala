@@ -122,8 +122,55 @@ object Blocking {
 
   /** Distinct (mention_id, entity_id) candidate pairs via the key equi-join,
     * with hot-key salting. `hotKeys` comes from a mention-side frequency
-    * pre-pass; pass empty to disable salting. */
+    * pre-pass; pass empty to disable salting.
+    *
+    * This is the ACCOUNTING surface (per-channel recall breakdowns, P/R
+    * referees, specs). The pipeline itself consumes `candidateSets`, which
+    * skips the explicit distinct: a whole pair-multiset exchange + sort
+    * removed (the round-4 4M-turn spill driver). */
   def candidatePairs(
+      spark: SparkSession,
+      mentionB: DataFrame,
+      entityB0: DataFrame,
+      cfg: GraftConfig,
+      hotKeys: Set[String],
+      skippedKeys: Option[org.apache.spark.util.LongAccumulator] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val raw = rawPairs(spark, mentionB, entityB0, cfg, hotKeys, skippedKeys, numPartitions)
+    def byKey(df: DataFrame, cols: Column*): DataFrame =
+      numPartitions.map(n => df.repartition(n, cols: _*)).getOrElse(df)
+    byKey(raw, col("mention_id"), col("id")).distinct()
+  }
+
+  /** Per-mention candidate SETS — the pipeline's pair surface: the key-join
+    * fan-out flows straight into ONE mention_id-keyed aggregation whose
+    * map-side partial collect_set dedups pairs before they hit the wire.
+    * Equivalent to candidatePairs + groupBy/collect_list (the scorer is
+    * order-insensitive: it converts cands to a Set and argmaxes with a
+    * deterministic id tie-break), but with one fewer pair-scale shuffle AND
+    * no pair-multiset sort: at 4M turns the removed exchange was tens of GB
+    * of spill (BASELINE.md single-node envelope — aggregate scratch disk
+    * was the only resource left failing). */
+  def candidateSets(
+      spark: SparkSession,
+      mentionB: DataFrame,
+      entityB0: DataFrame,
+      cfg: GraftConfig,
+      hotKeys: Set[String],
+      skippedKeys: Option[org.apache.spark.util.LongAccumulator] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val raw = rawPairs(spark, mentionB, entityB0, cfg, hotKeys, skippedKeys, numPartitions)
+    def byKey(df: DataFrame, cols: Column*): DataFrame =
+      numPartitions.map(n => df.repartition(n, cols: _*)).getOrElse(df)
+    byKey(raw, col("mention_id"))
+      .groupBy("mention_id").agg(collect_set(col("id")).as("cands"))
+  }
+
+  /** Un-deduped (mention_id, id) key-join fan-out shared by the two pair
+    * surfaces above (join-input widths pinned, fan-out caps + salting
+    * applied; NO final repartition/distinct — the caller chooses its
+    * aggregation grain). */
+  private def rawPairs(
       spark: SparkSession,
       mentionB: DataFrame,
       entityB0: DataFrame,
@@ -165,10 +212,8 @@ object Blocking {
     val entityB = entityB0.join(keptKeys, "key")
       .select(entityB0.columns.toIndexedSeq.map(col): _*)
     if (hotKeys.isEmpty) {
-      byKey(byKey(mentionB, col("key")).join(byKey(entityB, col("key")), "key")
-          .select("mention_id", "id"),
-          col("mention_id"), col("id"))
-        .distinct()
+      byKey(mentionB, col("key")).join(byKey(entityB, col("key")), "key")
+        .select("mention_id", "id")
     } else {
       val hot = spark.sparkContext.broadcast(hotKeys)
       val isHot = udf((k: String) => hot.value.contains(k))
@@ -181,11 +226,9 @@ object Blocking {
       val allSalts = typedLit[Seq[Long]](0L until r.toLong)
       val eSalted = entityB.withColumn("salt",
         explode(when(isHot(col("key")), allSalts).otherwise(typedLit[Seq[Long]](Seq(0L)))))
-      byKey(byKey(mSalted, col("key"), col("salt"))
-          .join(byKey(eSalted, col("key"), col("salt")), Seq("key", "salt"))
-          .select("mention_id", "id"),
-          col("mention_id"), col("id"))
-        .distinct()
+      byKey(mSalted, col("key"), col("salt"))
+        .join(byKey(eSalted, col("key"), col("salt")), Seq("key", "salt"))
+        .select("mention_id", "id")
     }
   }
 

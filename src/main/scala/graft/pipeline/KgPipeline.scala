@@ -124,7 +124,11 @@ object KgPipeline {
       val mentionCount = math.max(mentions.count(), 1L)
       val hot = Blocking.hotKeySketch(mentionB, math.max(mentionCount / 100, 100L))
       val nPart = autoShufflePartitions(spark, mentionCount, cfg)
-      val pairs = Blocking.candidatePairs(spark, mentionB, entityB, cfg, hot,
+      // candidateSets, not candidatePairs: the key-join fan-out aggregates
+      // straight to per-mention sets (map-side dedup) — one pair-scale
+      // exchange instead of two, no pair-multiset sort (the 4M-turn spill
+      // driver; decisions bit-identical, the scorer is order-insensitive)
+      val pairs = Blocking.candidateSets(spark, mentionB, entityB, cfg, hot,
         numPartitions = Some(nPart))
       Scorer.decideBest(spark, mentionsPrep, Some(pairs), entities, cfg, sweep = false,
         numPartitions = Some(nPart))

@@ -310,11 +310,20 @@ object Scorer {
           case Some(n) => skinny.repartition(n, col("mention_id"))
           case None    => skinny
         }
-        val p2 = numPartitions match {
-          case Some(n) => p.repartition(n, col("mention_id"))
-          case None    => p
-        }
-        val cands = p2.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
+        // pre-grouped (Blocking.candidateSets — the pipeline path: already
+        // one cands array per mention, partitioned by mention_id at the
+        // derived width) vs raw (mention_id, id) pairs from callers that
+        // bring candidatePairs output; the scorer is order-insensitive
+        // (cands -> Set), so the two spellings decide identically
+        val cands =
+          if (p.columns.contains("cands")) p
+          else {
+            val p2 = numPartitions match {
+              case Some(n) => p.repartition(n, col("mention_id"))
+              case None    => p
+            }
+            p2.groupBy("mention_id").agg(collect_list(col("id")).as("cands"))
+          }
         val joined = ment.join(cands, Seq("mention_id"), "left_outer")
         val emb = udf((x: String) => TextSim.embed(x, cfg.embeddingDim))
         packSide(
