@@ -489,6 +489,13 @@ object SparkEntry {
     // keep-one-representative step; CC machinery, driver tier at dup-graph
     // scale). Twin: recursive-CTE reachability over the {OUT} pairs dump.
     "dedup_clusters" -> ((s, dir) => Dedup.clusterReps(minhashPairs(s, dir))),
+    // the DROP materialization: documents minus non-representative cluster
+    // members — the kept corpus an actual dedup pipeline writes out.
+    // Twin: anti-join over the hash-gated {OUT}/dedup_clusters dump.
+    "dedup_kept_docs" -> ((s, dir) =>
+      Dedup.keepRepresentatives(
+          tbl(s, dir, "documents").select("doc_id", "n_chars"),
+          Dedup.clusterReps(minhashPairs(s, dir)))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
     // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
@@ -738,6 +745,10 @@ object SparkEntry {
           |  UNION
           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
           |SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a""".stripMargin,
+      "dedup_kept_docs" ->
+        ("SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (" +
+          "SELECT doc_id FROM read_parquet('{OUT}/dedup_clusters/*.parquet') " +
+          "WHERE doc_id <> rep_id)"),
       "dedup_embed_cosine" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
@@ -985,7 +996,10 @@ object SparkEntry {
           |GROUP BY b.qid""".stripMargin,
       // audio rows: width/height 0, n_frames = the synthesized PCM frame
       // count, sample_rate/duration_ms from the synthesis params — the
-      // engine must recover all three by parsing the RIFF/WAVE header
+      // engine must recover all three by parsing the RIFF/WAVE header.
+      // video rows: dims from tkhd (image formulas), n_frames = the stsz
+      // sample count (ceil of text bytes / 64), duration = frames x 33 ms
+      // from mvhd — recovered by the ISO-BMFF box walk
       "mm_decode" ->
         """SELECT doc_id,
           |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
@@ -993,10 +1007,11 @@ object SparkEntry {
           |  (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + ascii(substr(text, 2, 1)) % 64 END)::BIGINT AS height,
           |  (CASE doc_id % 3 WHEN 0 THEN 1
           |        WHEN 1 THEN (ascii(substr(text, 2, 1)) % 64 + 1) * 100
-          |        ELSE octet_length(encode(text)) // 64 + 1 END)::BIGINT AS n_frames,
+          |        ELSE (octet_length(encode(text)) + 63) // 64 END)::BIGINT AS n_frames,
           |  (CASE WHEN doc_id % 3 = 1 THEN 8000 + (ascii(substr(text, 1, 1)) % 64) * 250 ELSE 0 END)::BIGINT AS sample_rate,
-          |  (CASE WHEN doc_id % 3 = 1
-          |        THEN ((ascii(substr(text, 2, 1)) % 64 + 1) * 100000) // (8000 + (ascii(substr(text, 1, 1)) % 64) * 250)
+          |  (CASE doc_id % 3
+          |        WHEN 1 THEN ((ascii(substr(text, 2, 1)) % 64 + 1) * 100000) // (8000 + (ascii(substr(text, 1, 1)) % 64) * 250)
+          |        WHEN 2 THEN ((octet_length(encode(text)) + 63) // 64) * 33
           |        ELSE 0 END)::BIGINT AS duration_ms
           |FROM documents""".stripMargin,
       "mm_resize" ->

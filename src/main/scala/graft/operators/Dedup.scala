@@ -288,6 +288,18 @@ object Dedup {
         col("component").cast("long").as("rep_id"))
   }
 
+  /** The DROP step a corpus dedup actually ends with: keep every document
+    * that is NOT a non-representative member of a near-dup cluster (docs in
+    * no pair are trivially their own representative and pass through).
+    * One left-anti join keyed by doc_id against the (doc_id, rep_id)
+    * cluster labels — the drop side is dup-graph-sized, so at corpus scale
+    * AQE broadcasts it and the kept set is a scan-shaped filter. */
+  def keepRepresentatives(docs: DataFrame, reps: DataFrame,
+                          idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      reps.filter(col("doc_id") =!= col("rep_id")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Heavy-duplication corpus variant: every doc with id % `every` == 0 is
     * cloned `copies` times, each clone appending one distinguishing token —
     * clone families share all original shingles (pairwise jaccard ~ m/(m+2),

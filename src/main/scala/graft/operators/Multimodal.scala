@@ -6,18 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, batch feature extraction as a typed partition-local transform.
   *
-  * Image decode is REAL: `javax.imageio` ships with the JDK (PNG/JPEG/GIF/
-  * BMP), so image payloads are parsed for their actual pixel dimensions —
-  * no external jars, no stub. Audio container parsing is REAL too:
-  * `javax.sound.sampled.AudioSystem` (also pure JDK, no audio device
-  * needed) reads the RIFF/WAVE header for the actual sample rate and frame
-  * count. Video codecs are genuinely absent in this container, so ONLY that
-  * mime family goes through `decodeStub`, a clearly-marked deterministic
-  * fake; swapping in a real decoder changes only that function. Everything
-  * Spark-side is real either way: binary column schema, mime routing,
-  * partition-preserving mapPartitions (the Scala analog of Python's
-  * mapInPandas — batched, executor-local, no shuffle), and downstream
-  * columnar stats.
+  * Container/metadata parsing is REAL for all three mime families, pure
+  * JDK: `javax.imageio` (PNG/JPEG/GIF/BMP pixel dims), `javax.sound.
+  * sampled.AudioSystem` (RIFF/WAVE sample rate + frame count; no audio
+  * device needed), and an ISO-BMFF box walker (MP4 tkhd dims, mvhd
+  * duration, stsz sample table — `parseMp4`). The ONLY absent layer is
+  * frame PIXEL/SAMPLE codecs (H.264/AAC — genuinely not in this
+  * container's JDK), which no reported feature depends on; a real codec
+  * would slot in where the sample table already yields per-frame byte
+  * ranges. Everything Spark-side is real: binary column schema, mime
+  * routing, partition-preserving mapPartitions (the Scala analog of
+  * Python's mapInPandas — batched, executor-local, no shuffle), and
+  * downstream columnar stats.
   */
 object Multimodal {
 
@@ -44,25 +44,139 @@ object Multimodal {
     sum % 9973L
   }
 
-  /** Deterministic fake decode — STUB for the VIDEO codecs this container
-    * lacks (images and WAV audio are parsed for real). Derives fake
-    * dimensions from leading payload bytes and a payload checksum; a real
-    * implementation would parse the container format here. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val b = r.payload
-    val b0 = if (b.length > 0) b(0) & 0xff else 0
-    val b1 = if (b.length > 1) b(1) & 0xff else 0
-    val frames = if (r.mime.startsWith("video")) b.length / 64L + 1L else 1L
-    MediaFeatures(r.doc_id, r.mime, b.length.toLong,
-      1L + b0 % 64, 1L + b1 % 64, frames, 0L, 0L, payloadChecksum(b))
+  // ---------------------------------------------------------- ISO-BMFF (MP4)
+  // Minimal but REAL container structure, pure JVM: the fixture writes an
+  // actual box tree (ftyp + moov{mvhd, trak{tkhd, mdia{minf{stbl{stsz}}}}}
+  // + mdat) and the decoder recovers dims/duration/sample-table by walking
+  // it — big-endian (size, type) box headers, 16.16 fixed-point tkhd dims,
+  // mvhd timescale/duration, per-sample byte sizes from stsz. What remains
+  // absent is only the frame PIXEL codec (H.264 etc. — genuinely not in
+  // this container's JDK), which no reported feature depends on.
+
+  final case class Mp4Meta(
+      timescale: Long, duration: Long, width: Long, height: Long,
+      sampleSizes: Array[Int], mdatOffset: Int, mdatLen: Int)
+
+  private def asciiBytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def bmffBox(tp: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(len).put(asciiBytes(tp))
+    payload.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Deterministic minimal MP4: `content` becomes the mdat payload split
+    * into `frameBytes`-sized samples (last = remainder) recorded in a real
+    * stsz sample table; mvhd duration = nSamples * msPerFrame at timescale
+    * 1000; tkhd carries the pixel dims. Fixture-side only (pngBytes /
+    * wavBytes rationale); `decode`/`sampleFrames` treat it as an opaque
+    * container to parse. */
+  def mp4Bytes(width: Int, height: Int, content: Array[Byte],
+               frameBytes: Int = 64, msPerFrame: Int = 33): Array[Byte] = {
+    val nFrames = (content.length + frameBytes - 1) / frameBytes
+    def be(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)                      // version/flags
+      bb.putInt(0).putInt(0)            // ctime, mtime
+      bb.putInt(1000)                   // timescale
+      bb.putInt(nFrames * msPerFrame)   // duration
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+      bb.putInt(0).putInt(0)            // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
+        .foreach(bb.putInt)
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2)                      // next_track_id
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0x00000007)             // version 0, flags: enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0)            // ctime, mtime
+      bb.putInt(1).putInt(0)            // track_id, reserved
+      bb.putInt(nFrames * msPerFrame)   // duration
+      bb.putInt(0).putInt(0)            // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer, altgroup, volume, reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed-point
+      bb.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+      bb.putInt(0)        // version/flags
+      bb.putInt(0)        // sample_size 0 => per-sample table follows
+      bb.putInt(nFrames)
+      var i = 0
+      while (i < nFrames) {
+        bb.putInt(math.min(frameBytes, content.length - i * frameBytes))
+        i += 1
+      }
+      bb.array()
+    }
+    val moov = bmffBox("moov", bmffBox("mvhd", mvhd),
+      bmffBox("trak", bmffBox("tkhd", tkhd),
+        bmffBox("mdia", bmffBox("minf", bmffBox("stbl", bmffBox("stsz", stsz))))))
+    val ftyp = bmffBox("ftyp", asciiBytes("isom"), be(0), asciiBytes("isom"))
+    ftyp ++ moov ++ bmffBox("mdat", content)
+  }
+
+  /** Walk the box tree (recursing into container boxes) and collect the
+    * movie header, track dims, sample table and mdat extent. Fails LOUD on
+    * truncated/malformed structure. */
+  def parseMp4(payload: Array[Byte]): Mp4Meta = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = -1L; var duration = -1L
+    var width = -1L; var height = -1L
+    var sizes: Array[Int] = null
+    var mdatOff = -1; var mdatLen = -1
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off < to) {
+        require(off + 8 <= to, s"truncated box header at $off")
+        val len = bb.getInt(off)
+        val tp = new String(payload, off + 4, 4, "US-ASCII")
+        require(len >= 8 && off + len <= to, s"bad box '$tp' length $len at $off")
+        tp match {
+          case t if containers(t) => walk(off + 8, off + len)
+          case "mvhd" =>
+            timescale = bb.getInt(off + 8 + 12).toLong & 0xffffffffL
+            duration = bb.getInt(off + 8 + 16).toLong & 0xffffffffL
+          case "tkhd" =>
+            width = (bb.getInt(off + len - 8) >>> 16).toLong
+            height = (bb.getInt(off + len - 4) >>> 16).toLong
+          case "stsz" =>
+            val n = bb.getInt(off + 8 + 8)
+            require(12 + 4 * n <= len - 8, s"stsz table overruns box")
+            sizes = Array.tabulate(n)(i => bb.getInt(off + 8 + 12 + 4 * i))
+          case "mdat" =>
+            mdatOff = off + 8; mdatLen = len - 8
+          case _ => // ftyp etc.: skip
+        }
+        off += len
+      }
+    }
+    walk(0, payload.length)
+    require(timescale > 0 && duration >= 0 && width >= 0 && height >= 0 &&
+      sizes != null && mdatOff >= 0,
+      "missing mvhd/tkhd/stsz/mdat in MP4 payload")
+    require(sizes.map(_.toLong).sum == mdatLen.toLong,
+      s"stsz total ${sizes.sum} != mdat length $mdatLen")
+    Mp4Meta(timescale, duration, width, height, sizes, mdatOff, mdatLen)
   }
 
   /** Decode one record: REAL ImageIO parse for image mimes (actual pixel
     * width/height from the container bytes), REAL AudioSystem parse for
     * audio mimes (actual sample rate + PCM frame count from the RIFF/WAVE
-    * header; duration_ms = frames * 1000 / rate, integer floor). Both fail
-    * LOUD on undecodable payloads — corrupt media must not yield plausible
-    * fake metadata. Only video still routes through `decodeStub`. */
+    * header; duration_ms = frames * 1000 / rate, integer floor), REAL
+    * ISO-BMFF box walk for video mimes (dims from tkhd, duration from
+    * mvhd, frame count from the stsz sample table). All fail LOUD on
+    * undecodable payloads — corrupt media must not yield plausible fake
+    * metadata. */
   def decode(r: MediaRecord): MediaFeatures =
     if (r.mime.startsWith("image/")) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -85,7 +199,16 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
           0L, 0L, frames, rate, frames * 1000L / rate, payloadChecksum(r.payload))
       } finally in.close()
-    } else decodeStub(r)
+    } else if (r.mime.startsWith("video/")) {
+      val m = try parseMp4(r.payload) catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable ${r.mime} payload for doc ${r.doc_id}: ${e.getMessage}")
+      }
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+        m.width, m.height, m.sampleSizes.length.toLong,
+        0L, m.duration * 1000L / m.timescale, payloadChecksum(r.payload))
+    } else throw new IllegalArgumentException(
+      s"unsupported mime ${r.mime} for doc ${r.doc_id}")
 
   /** Deterministic PNG synthesis (BufferedImage + ImageIO.write): pixel
     * values are a cheap hash of (x, y, seed) so payloads differ per doc.
@@ -137,12 +260,14 @@ object Multimodal {
     * `image/png` rows carry REAL PNG bytes whose pixel dimensions derive
     * from the text's first two UTF-8 bytes (1 + b % 64), and `audio/wav`
     * rows carry REAL RIFF/WAVE bytes whose sample rate (8000 + b0%64 * 250)
-    * and frame count ((b1%64 + 1) * 100) derive from the same two bytes —
-    * the formulas the DuckDB oracle twin computes from the text column,
-    * closing the loop decode-side: ImageIO / AudioSystem must recover
-    * exactly those values from the container bytes. Video payloads remain
-    * the UTF-8 text bytes standing in for encoded media (the one remaining
-    * stub family). Deterministic throughout. */
+    * and frame count ((b1%64 + 1) * 100) derive from the same two bytes,
+    * and `video/mp4` rows carry a REAL ISO-BMFF box tree whose tkhd dims
+    * reuse the image formulas, whose mdat holds the UTF-8 text bytes split
+    * into a real stsz sample table of 64-byte frames, and whose mvhd
+    * duration is frames × 33 ms — all formulas the DuckDB oracle twin
+    * computes from the text column, closing the loop decode-side: ImageIO /
+    * AudioSystem / the box walker must recover exactly those values from
+    * the container bytes. Deterministic throughout. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -158,6 +283,12 @@ object Multimodal {
       val (b0, b1) = textBytes(text)
       wavBytes(8000 + (b0 % 64) * 250, (b1 % 64 + 1) * 100, docId)
     }
+    val mp4 = udf { text: String =>
+      val b = (if (text == null) "" else text).getBytes("UTF-8")
+      val b0 = if (b.length > 0) b(0) & 0xff else 0
+      val b1 = if (b.length > 1) b(1) & 0xff else 0
+      mp4Bytes(1 + b0 % 64, 1 + b1 % 64, b)
+    }
     docs.select(
         col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, lit("image/png"))
@@ -167,7 +298,7 @@ object Multimodal {
       .select(col("doc_id"), col("mime"),
         when(col("mime") === "image/png", png(col("doc_id"), col("text")))
           .when(col("mime") === "audio/wav", wav(col("doc_id"), col("text")))
-          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+          .otherwise(mp4(col("text"))).as("payload"))
       .as[MediaRecord]
   }
 
@@ -224,22 +355,24 @@ object Multimodal {
 
   final case class SampledFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, checksum: Long)
 
-  /** Frame sampling for (stubbed) video payloads: the payload is treated as
-    * fixed-size frames of `frameBytes`; every `stride`-th frame is emitted
-    * with its size and checksum — the decimation a video pipeline runs
-    * before feature extraction. Partition-local flatMap, no shuffle; frame
-    * selection and sizes are pure arithmetic over the payload length (the
-    * SQL-gateable structure), the checksum pins the bytes in specs. */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+  /** Frame sampling for video payloads: the REAL stsz sample table drives
+    * decimation — every `stride`-th sample's byte range inside mdat is
+    * emitted with its size and checksum, the pre-extraction step a video
+    * pipeline runs. Partition-local flatMap, no shuffle; sample selection
+    * and sizes come from the parsed container (SQL-gateable because the
+    * fixture's table is 64-byte frames over the text bytes), checksums pin
+    * the actual mdat bytes in specs. Malformed containers fail loud. */
+  def sampleFrames(media: Dataset[MediaRecord],
                    stride: Int = 4): Dataset[SampledFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.mime.startsWith("video/")).flatMap { r =>
-      val n = r.payload.length
-      val nFrames = (n + frameBytes - 1) / frameBytes
-      (0 until nFrames by stride).iterator.map { f =>
-        val from = f * frameBytes
-        val len = math.min(frameBytes, n - from)
+      val m = parseMp4(r.payload)
+      // per-sample offsets: running sum of the stsz sizes from mdat start
+      val offsets = m.sampleSizes.scanLeft(m.mdatOffset)(_ + _)
+      (0 until m.sampleSizes.length by stride).iterator.map { f =>
+        val from = offsets(f)
+        val len = m.sampleSizes(f)
         var sum = 0L
         var i = from
         while (i < from + len) { sum += (r.payload(i) & 0xff); i += 1 }

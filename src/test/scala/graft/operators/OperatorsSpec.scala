@@ -232,16 +232,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.fitDims(1, 64, 16) == (1, 16))
   }
 
-  test("multimodal frame sampling: every stride-th fixed frame, tail size exact, checksum pinned") {
-    val payload = Array.tabulate(300)(i => (i % 251).toByte)
+  test("multimodal frame sampling: every stride-th stsz sample from mdat, tail size exact, checksum pinned") {
+    val content = Array.tabulate(300)(i => (i % 251).toByte)
+    val payload = Multimodal.mp4Bytes(10, 10, content)
     val frames = Multimodal.sampleFrames(
       spark.createDataset(Seq(Multimodal.MediaRecord(7L, "video/mp4", payload)))(
         org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
       .collect().sortBy(_.frame_idx)
-    // ceil(300/64)=5 frames, stride 4 -> idx 0 and 4; tail = 300-256=44 bytes
+    // ceil(300/64)=5 samples, stride 4 -> idx 0 and 4; tail = 300-256=44 bytes
     assert(frames.map(f => (f.frame_idx, f.n_bytes)).toSeq == Seq((0L, 64L), (4L, 44L)))
+    // checksums are over the CONTENT bytes (extracted from mdat by the
+    // parsed sample table, not payload offsets)
     def sum(from: Int, len: Int) =
-      (from until from + len).map(i => (payload(i) & 0xff).toLong).sum % 9973L
+      (from until from + len).map(i => (content(i) & 0xff).toLong).sum % 9973L
     assert(frames(0).checksum == sum(0, 64))
     assert(frames(1).checksum == sum(256, 44))
     // non-video rows are filtered out
@@ -286,22 +289,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 12L, 20L -> 12L))
   }
 
-  test("multimodal decode: deterministic features, partition-count independent; video keeps stub semantics") {
+  test("multimodal decode: deterministic features, partition-count independent") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
     assert(f1.sameElements(f2))
-    // video rows (doc_id % 3 == 2) carry text bytes through the stub
-    val video = f1.find(_.mime == "video/mp4").get
-    val text = docs.filter(col("doc_id") === video.doc_id)
-      .collect().head.getAs[String]("text")
-    val bytes = text.getBytes("UTF-8")
-    assert(video.n_bytes == bytes.length.toLong)
-    assert(video.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 9973L)
-    assert(video.width == 1L + (bytes(0) & 0xff) % 64)
-    assert(video.n_frames == bytes.length / 64L + 1L)
-    assert(video.sample_rate == 0L && video.duration_ms == 0L)
+  }
+
+  test("multimodal video decode is REAL: the ISO-BMFF box walk recovers tkhd/mvhd/stsz") {
+    import spark.implicits._
+    // hand-built MP4 round-trip: dims from tkhd, sample count from stsz,
+    // duration = frames x 33ms from mvhd at timescale 1000
+    val content = Array.tabulate(200)(i => (i * 7).toByte)
+    val meta = Multimodal.parseMp4(Multimodal.mp4Bytes(17, 9, content))
+    assert(meta.width == 17L && meta.height == 9L)
+    assert(meta.sampleSizes.toSeq == Seq(64, 64, 64, 8))
+    assert(meta.duration == 4L * 33L && meta.timescale == 1000L)
+    val hand = Multimodal.decode(
+      Multimodal.MediaRecord(3L, "video/mp4", Multimodal.mp4Bytes(17, 9, content)))
+    assert(hand.width == 17L && hand.height == 9L &&
+      hand.n_frames == 4L && hand.duration_ms == 132L)
+    // fixture path: dims/frames/duration derive from the text formulas
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .collect().filter(_.mime == "video/mp4")
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val text = docs.filter(col("doc_id") === r.doc_id)
+        .collect().head.getAs[String]("text")
+      val b = text.getBytes("UTF-8")
+      val frames = (b.length + 63L) / 64L
+      assert(r.width == 1L + (b(0) & 0xff) % 64, s"doc ${r.doc_id}")
+      assert(r.height == 1L + (b(1) & 0xff) % 64, s"doc ${r.doc_id}")
+      assert(r.n_frames == frames, s"doc ${r.doc_id}")
+      assert(r.duration_ms == frames * 33L, s"doc ${r.doc_id}")
+      assert(r.n_bytes > b.length.toLong) // container overhead: a real box tree
+    }
+    // corrupt/truncated containers fail loud, not with fake metadata
+    intercept[Exception] {
+      Multimodal.decode(Multimodal.MediaRecord(1L, "video/mp4", Array[Byte](0, 0, 0, 9)))
+    }
+    intercept[Exception] { // text bytes alone are NOT a container any more
+      Multimodal.decode(Multimodal.MediaRecord(2L, "video/mp4", "plain".getBytes("UTF-8")))
+    }
   }
 
   test("multimodal audio decode is REAL: AudioSystem recovers the WAV header fields") {
@@ -377,6 +407,16 @@ class OperatorsSpec extends AnyFunSuite {
     // whitespace grain on the same docs: one giant word, keep=false
     val ws = TextStats.quality(zh).collect().map(r => r.getLong(0) -> r).toMap
     zhRows.foreach { id => assert(!ws(id).getAs[Boolean]("keep"), s"doc $id") }
+  }
+
+  test("keepRepresentatives: cluster members drop, reps and unpaired docs survive") {
+    import spark.implicits._
+    val d = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((7L, 3L), (3L, 9L), (20L, 12L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(d, Dedup.clusterReps(pairs))
+      .collect().map(_.getLong(0)).toSet
+    // dropped: 7, 9 (rep 3) and 20 (rep 12); everything else survives
+    assert(kept == (0L until 30L).toSet -- Set(7L, 9L, 20L))
   }
 
   test("clusterReps rejects negative ids loudly (padded lexicographic min != numeric min there)") {
