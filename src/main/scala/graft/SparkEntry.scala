@@ -496,6 +496,22 @@ object SparkEntry {
       Dedup.keepRepresentatives(
           tbl(s, dir, "documents").select("doc_id", "n_chars"),
           Dedup.clusterReps(minhashPairs(s, dir)))),
+    // the CAPSTONE composition a pretraining corpus-prep pipeline runs
+    // end-to-end: quality filter -> language tag -> exact-dup drop
+    // (keep min-id per md5 group) -> near-dup drop (cluster non-reps).
+    // Every stage is an already-gated operator; the composition is one
+    // declarative plan (scan-shaped filters + dup-graph-sized anti joins).
+    "corpus_clean" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val q = TextStats.quality(docs).filter(col("keep"))
+        .select("doc_id", "n_words")
+      val lang = TextStats.langId(docs).select(col("doc_id"), col("predicted_lang"))
+      val exactReps = Dedup.exact(docs).select(col("rep_id").as("doc_id"))
+      val cleaned = Dedup.keepRepresentatives(
+        q.join(lang, "doc_id").join(exactReps, Seq("doc_id"), "left_semi"),
+        Dedup.clusterReps(minhashPairs(s, dir)))
+      cleaned.select("doc_id", "predicted_lang", "n_words")
+    }),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
     // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
@@ -749,6 +765,32 @@ object SparkEntry {
         ("SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN (" +
           "SELECT doc_id FROM read_parquet('{OUT}/dedup_clusters/*.parquet') " +
           "WHERE doc_id <> rep_id)"),
+      // capstone composition: quality keep + langid + exact-rep semi +
+      // near-dup anti, recomposed stage-by-stage from the gated twins
+      "corpus_clean" ->
+        (s"""WITH w AS (SELECT doc_id, text,
+            |  list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+            |f AS (SELECT doc_id,
+            |  length(text)::BIGINT AS n_chars,
+            |  len(ws)::BIGINT AS n_words,
+            |  list_sum([length(x)::BIGINT for x in ws])::BIGINT AS sum_len,
+            |  length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+            |  FROM w),
+            |keepers AS (SELECT doc_id, n_words FROM f
+            |  WHERE n_words >= 5 AND sum_len / n_words <= 12.0 AND n_punct / n_chars <= 0.2),
+            |wl AS (SELECT doc_id,
+            |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws FROM documents),
+            |h AS (SELECT doc_id,
+            |         $langHits
+            |      FROM wl),
+            |lang AS (SELECT doc_id, $langCase AS predicted_lang FROM h),
+            |exact_reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            |near_drop AS (SELECT doc_id FROM read_parquet('{OUT}/dedup_clusters/*.parquet')
+            |              WHERE doc_id <> rep_id)
+            |SELECT k.doc_id, l.predicted_lang, k.n_words
+            |FROM keepers k JOIN lang l USING (doc_id)
+            |WHERE k.doc_id IN (SELECT doc_id FROM exact_reps)
+            |  AND k.doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin),
       "dedup_embed_cosine" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),

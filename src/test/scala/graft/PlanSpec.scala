@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
       s"sweep tier must not shuffle:\n${decideStage.mkString("\n")}")
   }
 
+  test("dedup_kept_docs: the drop side broadcasts into a LeftAnti join — no corpus shuffle") {
+    // the drop list is dup-graph-sized (cluster non-reps); the kept corpus
+    // must be a scan + broadcast anti-join, never a corpus-keyed exchange
+    val p = plan("dedup_kept_docs")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"drop side should broadcast:\n${p.take(3000)}")
+  }
+
   test("j6_bucketed_onehop: co-located bucketed join — zero exchanges even without broadcast") {
     // broadcast off: the gate is that BUCKETING (not broadcast) removes the
     // shuffle — the layout that survives when the dimension side outgrows
