@@ -579,6 +579,10 @@ object SparkEntry {
       graft.operators.Corpus.splitCounts(tbl(s, dir, "documents"))),
     "corpus_top_terms" -> ((s, dir) =>
       graft.operators.Corpus.topTerms(tbl(s, dir, "documents"), 100)),
+    // the BPE/WordPiece greedy-merge counting step: most frequent adjacent
+    // token pairs (one tokenizer-training round over the full corpus)
+    "corpus_top_pairs" -> ((s, dir) =>
+      graft.operators.Corpus.topPairs(tbl(s, dir, "documents"), 50)),
     // deterministic data-mixing sample: per-language keep rates (upsample
     // de, downsample fr, default 10%) via the split-hash residue — a pure
     // scan-pushed filter, rerun-stable on any engine
@@ -922,6 +926,11 @@ object SparkEntry {
         ("SELECT term, count(*) AS n FROM (" +
           "SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term " +
           "FROM documents) GROUP BY term ORDER BY n DESC, term LIMIT 100"),
+      "corpus_top_pairs" ->
+        ("SELECT pair, count(*) AS n FROM (" +
+          "SELECT unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS pair " +
+          "FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws " +
+          "FROM documents)) GROUP BY pair ORDER BY n DESC, pair LIMIT 50"),
       "corpus_sample_mix" ->
         ("SELECT doc_id, lang FROM documents WHERE (((doc_id * 48271) % 100) + 100) % 100 < " +
           "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 WHEN 'fr' THEN 25 ELSE 10 END"),

@@ -70,6 +70,25 @@ object Corpus {
       .select(col("doc_id"), col(strataCol))
   }
 
+  /** Top-k ADJACENT token pairs — the greedy-merge primitive of BPE/WordPiece
+    * tokenizer training (each training round merges the most frequent
+    * adjacent pair; this is that round's counting step, runnable per round
+    * over the full corpus). Pure Catalyst: zip each token array with its
+    * own tail, explode, count — map-side partial agg, one small-row shuffle,
+    * TakeOrdered for the head; deterministic ties (count desc, pair asc).
+    * `cjk` switches to the CJK-aware grain like `topTerms`. */
+  def topPairs(docs: DataFrame, k: Int, cjk: Boolean = false): DataFrame = {
+    val toks =
+      if (cjk) TextOps.cjkTokens(lower(col("text"))) else TextOps.words(lower(col("text")))
+    docs.select(toks.as("ws"))
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
   /** Corpus vocabulary head: top-k terms of the lowercased text with
     * deterministic ties (count desc, term asc). `cjk` switches the term
     * grain to the CJK-aware tokenizer (per-Han-char terms — whitespace

@@ -409,6 +409,22 @@ class OperatorsSpec extends AnyFunSuite {
     zhRows.foreach { id => assert(!ws(id).getAs[Boolean]("keep"), s"doc $id") }
   }
 
+  test("topPairs: adjacent-pair counts with deterministic ties; cjk grain pairs Han chars") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val pairs = Corpus.topPairs(d, 10).collect().map(r => r.getString(0) -> r.getLong(1))
+    // "a b" x3 (twice in doc1, once in doc2), then count-1 pairs sorted asc
+    assert(pairs.head == ("a b", 3L))
+    assert(pairs.toSeq.drop(1) == Seq("b a" -> 1L, "b c" -> 1L, "b x" -> 1L))
+    // single-token and empty docs emit no pairs
+    assert(Corpus.topPairs(Seq((3L, "solo"), (4L, "")).toDF("doc_id", "text"), 10)
+      .count() == 0)
+    // cjk grain: Han chars pair per character
+    val zh = Corpus.topPairs(Seq((5L, "云岭云岭")).toDF("doc_id", "text"), 10, cjk = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zh == Map("云 岭" -> 2L, "岭 云" -> 1L))
+  }
+
   test("keepRepresentatives: cluster members drop, reps and unpaired docs survive") {
     import spark.implicits._
     val d = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
