@@ -260,6 +260,25 @@ object SparkEntry {
       e.withColumn("nrm", Similarity.l2norm(col("v"))).persist()
     })
 
+  /** X13 similarity-details + X14 reasoning projection over a decisions
+    * frame (reference disambiguation.py:439-463 and :388-407) — shared
+    * templates + config-interpolated thresholds via the Scoring accessors,
+    * language-switched by cfg.reasoningLang; this surface can never drift
+    * from the decision logic or from the oracle/API twins. */
+  private def explainedFrame(decisions: DataFrame, cfg: GraftConfig): DataFrame =
+    decisions.select(col("mention_id"), col("decision"),
+      format_string(Scoring.detailsTemplate(cfg),
+        col("bge_score"), col("cross_encoder_score"), col("fuzz_score"),
+        col("levenshtein_score"), col("final_score")).as("similarity_details"),
+      when(col("decision") === "merge",
+          format_string(Scoring.mergeReasonTemplate(cfg),
+            col("final_score"), lit(cfg.highThreshold), col("match_id")))
+        .when(col("decision") === "create",
+          format_string(Scoring.createReasonTemplate(cfg),
+            col("final_score"), lit(cfg.lowThreshold)))
+        .otherwise(format_string(Scoring.ambiguousReasonTemplate(cfg),
+          col("final_score"))).as("reasoning"))
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -330,22 +349,16 @@ object SparkEntry {
     // a documented divergence from the Chinese originals). Shared templates
     // + config-interpolated thresholds: this text can never drift from the
     // decision logic or from the oracle/API twins.
-    "kg_decisions_explained" -> ((s, dir) => {
-      val cfg = GraftConfig.default
-      kg(s, dir).decisions
-        .select(col("mention_id"), col("decision"),
-          format_string(Scoring.DetailsTemplate,
-            col("bge_score"), col("cross_encoder_score"), col("fuzz_score"),
-            col("levenshtein_score"), col("final_score")).as("similarity_details"),
-          when(col("decision") === "merge",
-              format_string(Scoring.MergeReasonTemplate,
-                col("final_score"), lit(cfg.highThreshold), col("match_id")))
-            .when(col("decision") === "create",
-              format_string(Scoring.CreateReasonTemplate,
-                col("final_score"), lit(cfg.lowThreshold)))
-            .otherwise(format_string(Scoring.AmbiguousReasonTemplate,
-              col("final_score"))).as("reasoning"))
-    }),
+    "kg_decisions_explained" -> ((s, dir) =>
+      explainedFrame(kg(s, dir).decisions, GraftConfig.default)),
+    // X13/X14 with the reference's OWN output language: the zh pipeline's
+    // decisions rendered through the engine-authored zh template set
+    // (cfg.reasoningLang = "zh"; closes the round-4 "English templates"
+    // divergence as a config flip — golden-oracle twin shares the
+    // accessors, so the text can never drift)
+    "kg_decisions_explained_zh" -> ((s, dir) =>
+      explainedFrame(kgZh(s, dir).decisions,
+        GraftConfig.default.copy(reasoningLang = "zh"))),
 
     // ---- zh-mixed pipeline surfaces (round-4: CJK mention detection — the
     // reference corpus's primary language; unsegmented inline mentions).
@@ -980,6 +993,8 @@ object SparkEntry {
         "SELECT * FROM read_parquet('{ORA}/kg_candidates_topk/*.parquet')",
       "kg_decisions_explained" ->
         "SELECT * FROM read_parquet('{ORA}/kg_decisions_explained/*.parquet')",
+      "kg_decisions_explained_zh" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_decisions_explained_zh/*.parquet')",
       "kg_onehop" ->
         ("SELECT t.subj, t.pred, t.obj, e.name AS obj_name " +
           "FROM read_parquet('{ORA}/kg_triples/*.parquet') t " +

@@ -105,6 +105,11 @@ object Verify {
     write("kg_decisions_zh", zhGolden.decisions.toDF()
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score"))
     write("kg_triples_zh", zhGolden.triples.toSeq.toDF("subj", "pred", "obj"))
+    // zh reasoning surface: same decisions, engine-authored zh templates
+    // (cfg.reasoningLang) — gates the language flip end to end
+    write("kg_decisions_explained_zh",
+      zhGolden.decisions.map(Oracle.explained(_, cfg.copy(reasoningLang = "zh")))
+        .toDF("mention_id", "decision", "similarity_details", "reasoning"))
 
     // zh/mixed documents fixture for the round-5 text-operator twins
     // (token counts / quality / vocab head / char-n-gram dedup re-derive

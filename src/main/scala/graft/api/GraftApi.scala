@@ -103,13 +103,13 @@ object GraftApi {
         // byte-identical with kg_decisions_explained and the oracle
         val reasoning = d match {
           case Decisions.Merge =>
-            String.format(java.util.Locale.US, Scoring.MergeReasonTemplate,
+            String.format(java.util.Locale.US, Scoring.mergeReasonTemplate(cfg),
               Double.box(s.final_score), Double.box(cfg.highThreshold), best.id)
           case Decisions.Create =>
-            String.format(java.util.Locale.US, Scoring.CreateReasonTemplate,
+            String.format(java.util.Locale.US, Scoring.createReasonTemplate(cfg),
               Double.box(s.final_score), Double.box(cfg.lowThreshold))
           case _ =>
-            String.format(java.util.Locale.US, Scoring.AmbiguousReasonTemplate,
+            String.format(java.util.Locale.US, Scoring.ambiguousReasonTemplate(cfg),
               Double.box(s.final_score))
         }
         Result(d,

@@ -89,7 +89,11 @@ final case class GraftConfig(
     // that cell ~250 partitions with no caller knob.
     targetSliceBytes: Long = 32L << 20,
     estMentionBytes: Long = 8192L,
-    forceDecision: Boolean = false
+    forceDecision: Boolean = false,
+    // X13/X14 reasoning/details language: "en" (default; documented
+    // divergence from the reference's zh originals) or "zh"
+    // (engine-authored zh templates — Scoring.*TemplateZh)
+    reasoningLang: String = "en"
 ) {
   def midThreshold: Double = (highThreshold + lowThreshold) / 2.0
 

@@ -138,6 +138,25 @@ object Scoring {
   val CreateReasonTemplate = "final %.4f <= low threshold %.2f: create new entity"
   val AmbiguousReasonTemplate = "final %.4f between thresholds: ambiguous"
 
+  /** zh template set (cfg.reasoningLang = "zh") — the reference emits
+    * Chinese reasoning text (disambiguation.py:388-407); these are
+    * ENGINE-AUTHORED zh phrasings (nothing copied from the reference's
+    * strings), same format-argument order as the English set so every call
+    * site switches by template alone. */
+  val DetailsTemplateZh = "语义=%.4f 上下文=%.4f 模糊=%.4f 编辑=%.4f 综合=%.4f"
+  val MergeReasonTemplateZh = "综合得分%.4f达到合并阈值%.2f，并入实体%s"
+  val CreateReasonTemplateZh = "综合得分%.4f不高于新建阈值%.2f，创建新实体"
+  val AmbiguousReasonTemplateZh = "综合得分%.4f介于两阈值之间，待人工复核"
+
+  def detailsTemplate(cfg: GraftConfig): String =
+    if (cfg.reasoningLang == "zh") DetailsTemplateZh else DetailsTemplate
+  def mergeReasonTemplate(cfg: GraftConfig): String =
+    if (cfg.reasoningLang == "zh") MergeReasonTemplateZh else MergeReasonTemplate
+  def createReasonTemplate(cfg: GraftConfig): String =
+    if (cfg.reasoningLang == "zh") CreateReasonTemplateZh else CreateReasonTemplate
+  def ambiguousReasonTemplate(cfg: GraftConfig): String =
+    if (cfg.reasoningLang == "zh") AmbiguousReasonTemplateZh else AmbiguousReasonTemplate
+
   /** The mention viewed as a query entity: name = surface, definition = the
     * turn text (context), no aliases/attributes. */
   def mentionScoringText(m: Mention): String = scoringText(m.surface, Nil, Some(m.context))

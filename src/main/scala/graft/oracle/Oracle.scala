@@ -132,19 +132,20 @@ object Oracle {
     * kg_decisions_explained query; same shared templates, same
     * Locale.US Formatter semantics as Spark's format_string. */
   def explained(d: Decision, cfg: GraftConfig): (String, String, String, String) = {
-    val details = String.format(Locale.US, Scoring.DetailsTemplate,
+    val details = String.format(Locale.US, Scoring.detailsTemplate(cfg),
       Double.box(d.bge_score), Double.box(d.cross_encoder_score),
       Double.box(d.fuzz_score), Double.box(d.levenshtein_score),
       Double.box(d.final_score))
     val reasoning = d.decision match {
       case Decisions.Merge =>
-        String.format(Locale.US, Scoring.MergeReasonTemplate,
+        String.format(Locale.US, Scoring.mergeReasonTemplate(cfg),
           Double.box(d.final_score), Double.box(cfg.highThreshold), d.match_id.orNull)
       case Decisions.Create =>
-        String.format(Locale.US, Scoring.CreateReasonTemplate,
+        String.format(Locale.US, Scoring.createReasonTemplate(cfg),
           Double.box(d.final_score), Double.box(cfg.lowThreshold))
       case _ =>
-        String.format(Locale.US, Scoring.AmbiguousReasonTemplate, Double.box(d.final_score))
+        String.format(Locale.US, Scoring.ambiguousReasonTemplate(cfg),
+          Double.box(d.final_score))
     }
     (d.mention_id, d.decision, details, reasoning)
   }
