@@ -137,7 +137,9 @@ object Bench {
       val (mEx, mLsh) = (med(exT.toSeq), med(lshT.toSeq))
       def runsJson(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
       heavyJson = f"""{"set_rows":$nBoiler,"memo_state":"sets_persisted_warm","runs":$heavyRuns,"exhaustive_sec":$mEx%.3f,"lsh_sec":$mLsh%.3f,"ex_runs":${runsJson(exT.toSeq)},"lsh_runs":${runsJson(lshT.toSeq)},"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${mEx / mLsh}%.3f,"equal":${nEx == nLsh}}"""
-      heavyCompact = f"""{"memo_state":"sets_persisted_warm","exhaustive_sec":$mEx%.2f,"lsh_sec":$mLsh%.2f,"lsh_speedup":${mEx / mLsh}%.2f,"equal":${nEx == nLsh}}"""
+      // abbreviated keys: the compact line's budget is the driver tail (the
+      // full names live in the file document above)
+      heavyCompact = f"""{"memo":"warm_sets","ex":$mEx%.2f,"lsh":$mLsh%.2f,"x":${mEx / mLsh}%.2f,"equal":${nEx == nLsh}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup_heavy FAILED: ${e.getMessage}")
       errors("dedup_heavy") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -256,7 +258,6 @@ object Bench {
     // fields (metric/value/unit/queries/sf) with 2-decimal times, medians
     // only for scaling, error NAMES only — and a loud stderr warning if it
     // ever approaches the budget again.
-    val qsC = results.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     // error/retry detail only when present (the healthy line stays lean;
     // full texts are always in the file)
     val errPart =
@@ -264,11 +265,18 @@ object Bench {
       else s""","error_queries":${errors.keys.take(5).map(jq).mkString("[", ",", "]")},"n_retries":${retries.size}"""
     val scalingC = scaling.map { case (c, runs) =>
       f""""$c":${median(runs)}%.0f""" }.mkString("{", ",", "}")
-    val compact =
+    def compactLine(qFmt: Double => String): String = {
+      val qsC = results.map { case (k, v) => jq(k) + ":" + qFmt(v) }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
-    if (compact.length > 1900)
+    }
+    // precision degrades before the line can outgrow the tail window: query
+    // walls at centiseconds normally, deciseconds if the query set has
+    // grown the line past ~1950 chars (the budget is 2000 minus newline)
+    var compact = compactLine(v => f"$v%.2f")
+    if (compact.length > 1950) compact = compactLine(v => f"$v%.1f")
+    if (compact.length > 1950)
       System.err.println(s"[bench] WARNING compact JSON line ${compact.length} chars" +
-        " — approaching the 2000-char driver tail budget, trim fields")
+        " — exceeds the 2000-char driver tail budget even at 1-decimal, trim fields")
     println(compact)
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
   }
