@@ -68,6 +68,11 @@ object Bench {
 
     val spark = newSession(cpus)
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
     def timedKg(s: SparkSession): (Long, Double) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.kg(s, sfDir).triples.count()
@@ -130,11 +135,7 @@ object Bench {
         nLsh = nl; lshT += tl
         cand.foreach(_.unpersist(false)) // each round re-derives its own candidates
       }
-      def med(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-      }
-      val (mEx, mLsh) = (med(exT.toSeq), med(lshT.toSeq))
+      val (mEx, mLsh) = (median(exT.toSeq), median(lshT.toSeq))
       def runsJson(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
       heavyJson = f"""{"set_rows":$nBoiler,"memo_state":"sets_persisted_warm","runs":$heavyRuns,"exhaustive_sec":$mEx%.3f,"lsh_sec":$mLsh%.3f,"ex_runs":${runsJson(exT.toSeq)},"lsh_runs":${runsJson(lshT.toSeq)},"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${mEx / mLsh}%.3f,"equal":${nEx == nLsh}}"""
       // abbreviated keys: the compact line's budget is the driver tail (the
@@ -217,10 +218,6 @@ object Bench {
         }.collectFirst { case Some(tps) => tps }
       }
       if (runs.nonEmpty) scaling(c) = runs
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def eff(a: Int, b: Int): Double =
       if (scaling.contains(a) && scaling.contains(b))

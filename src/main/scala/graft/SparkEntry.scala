@@ -607,12 +607,14 @@ object SparkEntry {
     "text_contamination" -> ((s, dir) =>
       TextStats.contaminationPairs(docsPlusShiftedCopies(s, dir))),
 
-    // ---- multimodal plumbing: REAL ImageIO decode for image rows and REAL
-    // AudioSystem (RIFF/WAVE header) parse for audio rows — both fixtures
-    // encode text-derived parameters (dims; sample rate + frame count), so
-    // the oracle predicts them from the text column while the engine must
-    // recover them from the container bytes. Video remains the declared
-    // stub. n_bytes is excluded from the gated projection — a PNG/WAV's
+    // ---- multimodal plumbing: REAL container parsing for all three
+    // families — ImageIO decode for image rows, AudioSystem (RIFF/WAVE
+    // header) parse for audio rows, and an ISO-BMFF box walk (mvhd/tkhd/
+    // stsz/mdat) for video rows. Every fixture encodes text-derived
+    // parameters (dims; sample rate + frame count; timescale + frame
+    // sizes), so the oracle predicts them from the text column while the
+    // engine must recover them from the container bytes. n_bytes is
+    // excluded from the gated projection — a PNG/WAV/BMFF payload's
     // encoded length is not SQL-expressible (it still rides on
     // MediaFeatures, spec-checked).
     "mm_decode" -> ((s, dir) => {

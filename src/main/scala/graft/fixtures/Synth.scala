@@ -306,6 +306,10 @@ object Synth {
     * tokens and is structurally blind to these pairs). Deterministic, own
     * seed; ids are non-negative (clusterReps contract). */
   def zhDocuments(nDocs: Int, seed: Long = 42L): Seq[(Long, String, String)] = {
+    // planted-duplicate ids are base + 100000; a larger base range would
+    // collide clone ids with base ids (duplicate doc_id rows would silently
+    // break every per-doc keyed gate), so refuse loudly instead
+    require(nDocs <= 100000, s"zhDocuments supports at most 100000 docs (got $nDocs)")
     val rnd = new Random(seed + 21)
     val base = (0 until nDocs).map { i =>
       if (i % 5 == 4) {

@@ -265,20 +265,21 @@ object Dedup {
     * scale, distributed min-label loop beyond), representative = MIN doc_id
     * in the cluster. Ids travel as zero-padded strings so the component
     * labeling's lexicographic min IS the numeric min — which holds ONLY for
-    * NON-NEGATIVE ids ("-5" sorts before "-19" but 5 < 19), so negative ids
-    * are rejected loudly up front (one cheap limit(1) probe of the pair
-    * frame; dup-pair frames are orders of magnitude smaller than the
-    * corpus) rather than silently electing a wrong representative. Returns
+    * NON-NEGATIVE ids ("-5" sorts before "-19" but 5 < 19), so the padding
+    * expression itself raise_error's on any negative id (row-level, inside
+    * the pass that needs the padded value anyway — no extra job over the
+    * upstream pair DAG, which an eager probe would re-run for uncached
+    * inputs) rather than silently electing a wrong representative. Returns
     * (doc_id, rep_id) for every doc that appears in some pair; docs in no
     * pair are trivially their own representative and are omitted (the
     * caller's anti-join keeps them). */
   def clusterReps(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.format_string
-    require(
-      pairs.filter(col("doc_a") < 0 || col("doc_b") < 0).limit(1).count() == 0,
-      "clusterReps requires non-negative doc ids (zero-padded lexicographic " +
-        "min == numeric min only holds for ids >= 0)")
-    val pad = (c: Column) => format_string("%020d", c)
+    import org.apache.spark.sql.functions.{concat, format_string, lit, raise_error, when}
+    val pad = (c: Column) => when(c < 0, raise_error(concat(
+        lit("clusterReps requires non-negative doc ids (zero-padded " +
+          "lexicographic min == numeric min only holds for ids >= 0), got "),
+        c.cast("string"))))
+      .otherwise(format_string("%020d", c))
     val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
     val vertices = pairs.select(col("doc_a").as("d"))
       .union(pairs.select(col("doc_b").as("d")))

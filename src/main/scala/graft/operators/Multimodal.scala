@@ -144,9 +144,29 @@ object Multimodal {
         tp match {
           case t if containers(t) => walk(off + 8, off + len)
           case "mvhd" =>
-            timescale = bb.getInt(off + 8 + 12).toLong & 0xffffffffL
-            duration = bb.getInt(off + 8 + 16).toLong & 0xffffffffL
+            // version flips the field widths: v0 packs 32-bit times
+            // (timescale at body offset 12), v1 64-bit times (timescale at
+            // 20, 64-bit duration at 24). Reading v1 with v0 offsets would
+            // return the low half of modification_time as a plausible
+            // timescale — misparse must fail loud or parse right, never
+            // fake metadata.
+            val ver = payload(off + 8) & 0xff
+            require(ver <= 1, s"unsupported mvhd version $ver")
+            if (ver == 0) {
+              require(len - 8 >= 20, s"mvhd v0 body too short (${len - 8})")
+              timescale = bb.getInt(off + 8 + 12).toLong & 0xffffffffL
+              duration = bb.getInt(off + 8 + 16).toLong & 0xffffffffL
+            } else {
+              require(len - 8 >= 32, s"mvhd v1 body too short (${len - 8})")
+              timescale = bb.getInt(off + 8 + 20).toLong & 0xffffffffL
+              duration = bb.getLong(off + 8 + 24)
+            }
           case "tkhd" =>
+            // dims are the LAST 8 bytes of the body in both v0 and v1
+            // (64-bit times only shift the front), so tail-relative reads
+            // are version-safe; still refuse unknown versions
+            require((payload(off + 8) & 0xff) <= 1,
+              s"unsupported tkhd version ${payload(off + 8) & 0xff}")
             width = (bb.getInt(off + len - 8) >>> 16).toLong
             height = (bb.getInt(off + len - 4) >>> 16).toLong
           case "stsz" =>

@@ -129,4 +129,19 @@ object ConnectedComponents {
     checkpointRdd(bidir).foreach(_.unpersist(false))
     out
   }
+
+  /** Free the MEMORY_AND_DISK blocks behind a frame produced by the
+    * distributed path (or any frame derived from one): the result of
+    * runDistributed is localCheckpoint-backed, and DataFrame.unpersist is a
+    * NO-OP on checkpointed frames — the blocks ARE the data, only the
+    * ContextCleaner's RDD GC would eventually reclaim them. Call when the
+    * frame (and everything derived from it that isn't independently
+    * materialized) will never be read again — the blocks cannot be
+    * recomputed (lineage was severed on purpose). Walks the analyzed plan
+    * so persisted derivatives release their checkpoint leaves too; a no-op
+    * on frames with no LogicalRDD leaf (driver-path results, plain plans). */
+  def releaseResult(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

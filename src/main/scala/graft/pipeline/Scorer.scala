@@ -314,10 +314,20 @@ object Scorer {
         // one cands array per mention, partitioned by mention_id at the
         // derived width) vs raw (mention_id, id) pairs from callers that
         // bring candidatePairs output; the scorer is order-insensitive
-        // (cands -> Set), so the two spellings decide identically
+        // (cands -> Set), so the two spellings decide identically. The
+        // dispatch is on the schema, so each shape is VALIDATED: a frame
+        // that carries both spellings (or neither) is a caller bug that
+        // must fail here, not silently join un-grouped rows downstream.
         val cands =
-          if (p.columns.contains("cands")) p
-          else {
+          if (p.columns.contains("cands")) {
+            require(
+              p.schema("cands").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                !p.columns.contains("id"),
+              s"pre-grouped pairs must be (mention_id, cands:array) with no raw id column, got ${p.schema.simpleString}")
+            p
+          } else {
+            require(p.columns.contains("id"),
+              s"pairs must be raw (mention_id, id) rows or pre-grouped (mention_id, cands), got ${p.schema.simpleString}")
             val p2 = numPartitions match {
               case Some(n) => p.repartition(n, col("mention_id"))
               case None    => p

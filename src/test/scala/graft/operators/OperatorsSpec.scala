@@ -438,7 +438,12 @@ class OperatorsSpec extends AnyFunSuite {
   test("clusterReps rejects negative ids loudly (padded lexicographic min != numeric min there)") {
     import spark.implicits._
     val pairs = Seq((-5L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
-    intercept[IllegalArgumentException] { Dedup.clusterReps(pairs) }
+    // validation is row-level (raise_error inside the padding expression —
+    // no extra job over the pair DAG), so it surfaces at materialization
+    val e = intercept[Exception] { Dedup.clusterReps(pairs).collect() }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("non-negative doc ids"), msgs.take(500))
   }
 
   test("split-hash residue is sign-safe: negative ids split/sample like positives, not always-train") {
