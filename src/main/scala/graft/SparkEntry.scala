@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Candidates, GraftConfig, Scoring}
 import graft.fixtures.Synth
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextStats, Timeseries}
 import graft.pipeline.{KgPipeline, Scorer, TranscriptSource, TripleEmitter}
 
 /** Driver contract (SURVEY.md §7; see Verify/Bench).
@@ -436,6 +436,41 @@ object SparkEntry {
     "s9_history_topn" -> ((s, dir) => tbl(s, dir, "events")
       .orderBy(col("ts").desc, col("event_id")).limit(50)
       .select("event_id", "event_type", "value")),
+
+    // ---- event-time operators (operators/Timeseries): the two stream-table
+    // primitives Spark lacks as built-ins, spelled scale-first. The as-of
+    // join (each click -> the latest prior view by the same user) runs as
+    // ONE key exchange + sort via union + last(ignoreNulls) — never an
+    // inequality join; DuckDB's native ASOF JOIN is the independent twin.
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Timeseries.asofJoin(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_event_id"),
+          col("asof_value").as("view_value"),
+          (Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("asof_ts"))).as("lag_ms"))
+    }),
+    // gap sessionization (8h gap: the fixture's median per-user gap is
+    // ~7.3h, so both continue and break branches carry real volume); the
+    // per-session aggregate reuses the window's key exchange — one shuffle
+    // total, plan-gated in PlanSpec
+    "ev_sessions" -> ((s, dir) =>
+      Timeseries.sessionStats(
+        tbl(s, dir, "events"), "user_id", "ts", "event_id", 28800L, "value")),
+
+    // ---- 2-hop graph reads (operators/GraphOps) over the triple store,
+    // twinned against the GOLDEN-oracle triples dump (independent compute
+    // path end to end: pure-Scala oracle emits the edges, DuckDB does the
+    // traversal)
+    "kg_comention" -> ((s, dir) =>
+      GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))),
+    "kg_twohop_type" -> ((s, dir) =>
+      GraphOps.twoHopTypes(kg(s, dir).triples.select("subj", "pred", "obj"))),
     "a1_count_tables" -> ((s, dir) =>
       tbl(s, dir, "documents").agg(lit("documents").as("tbl"), count(lit(1)).as("n"))
         .union(tbl(s, dir, "events").agg(lit("events").as("tbl"), count(lit(1)).as("n")))
@@ -717,6 +752,49 @@ object SparkEntry {
           "JOIN customer ON user_id = c_custkey WHERE event_type = 'error'"),
       "s9_history_topn" ->
         "SELECT event_id, event_type, value FROM events ORDER BY ts DESC, event_id LIMIT 50",
+      // independent spelling: DuckDB's NATIVE ASOF JOIN operator vs the
+      // engine's union+window plan (ties impossible: per-user event
+      // timestamps are distinct in the fixture, and the engine side is
+      // deterministic under ties regardless via the payload sort key)
+      "ev_asof_join" ->
+        ("SELECT l.event_id, l.user_id, r.event_id AS view_event_id, " +
+          "r.value AS view_value, epoch_ms(l.ts) - epoch_ms(r.ts) AS lag_ms " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "ev_sessions" ->
+        ("""WITH o AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 28800000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM o)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY 1, 2""").stripMargin,
+      "kg_comention" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions')
+          |SELECT a.ent AS entity_a, b.ent AS entity_b, count(*) AS n_turns
+          |FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+          |GROUP BY 1, 2""").stripMargin,
+      "kg_twohop_type" ->
+        ("""WITH t AS (
+          |  SELECT subj AS ent, obj AS entity_type
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'type'),
+          |m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions')
+          |SELECT entity_type, count(*) AS n_mentions, count(DISTINCT turn) AS n_turns
+          |FROM m JOIN t USING (ent) GROUP BY 1""").stripMargin,
       "a1_count_tables" ->
         ("SELECT 'documents' AS tbl, count(*) AS n FROM documents " +
           "UNION ALL SELECT 'events', count(*) FROM events " +

@@ -137,6 +137,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ev_asof_join: ONE key exchange, no inequality-join plan") {
+    // the as-of join's whole claim: union + window = one hashpartitioning
+    // exchange on the key; the naive `l.key = r.key AND r.ts <= l.ts` +
+    // argmax spelling plans as BroadcastNestedLoop/Cartesian and dies at
+    // scale (the window sort shows up inside the same exchange)
+    val p = plan("ev_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join regressed to an inequality join:\n${p.take(3000)}")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(_k"), p.take(2000))
+  }
+
+  test("ev_sessions: the per-session aggregate reuses the window's key exchange") {
+    // groupBy(user_id, session_idx) clusters a SUPERSET of the window's
+    // partition key, so hashpartitioning(user_id) already satisfies it —
+    // the whole operator must run on one shuffle
+    val p = plan("ev_sessions")
+    assert(p.contains("Window"), p.take(2000))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange (aggregate must reuse the window's):\n${p.take(3000)}")
+  }
+
+  test("kg_twohop_type: the dictionary-sized type side broadcasts") {
+    val p = plan("kg_twohop_type")
+    assert(p.contains("BroadcastHashJoin"),
+      s"type side should broadcast, mentions side must not move:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("blocked tier: every pair-DAG exchange runs at the DERIVED width (the 8g-OOM gate)") {
     // the candidate join's reduce side + the distinct + the cands groupBy +
     // the scoring join must all hash-partition at autoShufflePartitions(n),

@@ -1,0 +1,145 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the event-time operators (as-of join, sessionization)
+  * and the 2-hop graph reads: a brute-force in-memory model decides every
+  * edge case (equal timestamps, right-side duplicates, boundary gaps), the
+  * distributed operator must agree row for row — including determinism
+  * under re-partitioning. */
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  // (key, ts_ms, id, value) — ties and boundaries planted on purpose:
+  //  - a left event EXACTLY at a right event's ts (<= semantics: matches it)
+  //  - two right rows at the SAME (key, ts) (determinism: max payload wins)
+  //  - a left event BEFORE any right event (inner semantics: dropped)
+  private val rightRows = Seq(
+    (1L, 1000L, 10L, 1.0), (1L, 5000L, 11L, 2.0), (1L, 5000L, 12L, 3.0),
+    (1L, 9000L, 13L, 4.0),
+    (2L, 4000L, 20L, 5.0),
+    (3L, 7000L, 30L, 6.0))
+  private val leftRows = Seq(
+    (1L, 500L, 100L), // before any right row for key 1 -> dropped
+    (1L, 1000L, 101L), // exactly at right ts 1000 -> matches id 10
+    (1L, 5000L, 102L), // at the duplicated ts -> deterministic max payload (id 12)
+    (1L, 6000L, 103L), // between -> latest at-or-before is the dup ts winner
+    (1L, 20000L, 104L), // after everything -> id 13
+    (2L, 3000L, 200L), // before key-2's only right row -> dropped
+    (2L, 4500L, 201L), // -> id 20
+    (4L, 1000L, 400L)) // key with no right rows at all -> dropped
+
+  private def leftDf: DataFrame = {
+    import spark.implicits._
+    leftRows.map { case (k, t, id) => (id, k, ts(t)) }
+      .toDF("event_id", "user_id", "ts")
+  }
+  private def rightDf: DataFrame = {
+    import spark.implicits._
+    rightRows.map { case (k, t, id, v) => (k, ts(t), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+  }
+
+  /** Brute-force model: latest right row with r.ts <= l.ts; ties on ts break
+    * by the payload struct order (ts, event_id, value) — max wins. */
+  private def bruteAsof: Map[Long, (Long, Long, Double)] =
+    leftRows.flatMap { case (k, lt, lid) =>
+      val cand = rightRows.filter { case (rk, rt, _, _) => rk == k && rt <= lt }
+      if (cand.isEmpty) None
+      else {
+        val (_, rt, rid, rv) = cand.maxBy { case (_, rt, rid, rv) => (rt, rid, rv) }
+        Some(lid -> ((rt, rid, rv)))
+      }
+    }.toMap
+
+  test("asofJoin matches the brute-force model on every planted edge case") {
+    val out = Timeseries
+      .asofJoin(leftDf, rightDf, "user_id", "ts", Seq("event_id", "value"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Timestamp]("asof_ts").getTime,
+          r.getAs[Long]("asof_event_id"), r.getAs[Double]("asof_value"))))
+      .toMap
+    assert(out == bruteAsof, s"engine=$out\nbrute=$bruteAsof")
+    // the specific pins the comment block promises
+    assert(!out.contains(100L) && !out.contains(200L) && !out.contains(400L))
+    assert(out(101L)._2 == 10L, "equal-ts left row must match (<=, not <)")
+    assert(out(102L)._2 == 12L, "right duplicates at one ts: max payload wins")
+    assert(out(104L)._2 == 13L)
+  }
+
+  test("asofJoin is deterministic under re-partitioning") {
+    val a = Timeseries
+      .asofJoin(leftDf.repartition(7), rightDf.repartition(3),
+        "user_id", "ts", Seq("event_id", "value"))
+      .collect().map(_.toSeq).toSet
+    val b = Timeseries
+      .asofJoin(leftDf.coalesce(1), rightDf.coalesce(1),
+        "user_id", "ts", Seq("event_id", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sessionize: strictly-greater gap breaks; exact gap continues; 1-based idx") {
+    import spark.implicits._
+    val gap = 10L // seconds
+    val ev = Seq(
+      (1L, 0L, 1L), (1L, 10000L, 2L), // exactly 10s -> SAME session
+      (1L, 20001L, 3L), // 10.001s -> NEW session
+      (1L, 25000L, 4L),
+      (2L, 0L, 5L)) // other key: its own numbering
+      .map { case (k, t, id) => (k, ts(t), id, 1.0) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Timeseries.sessionize(ev, "user_id", "ts", "event_id", gap)
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L), out)
+
+    val stats = Timeseries
+      .sessionStats(ev, "user_id", "ts", "event_id", gap, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(stats((1L, 1L)) == ((2L, 0L, 10000L, 2.0)))
+    assert(stats((1L, 2L)) == ((2L, 20001L, 25000L, 2.0)))
+    assert(stats((2L, 1L)) == ((1L, 0L, 0L, 1.0)))
+  }
+
+  private def triples: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("turn1", "mentions", "e1"), ("turn1", "mentions", "e2"),
+      ("turn1", "mentions", "e3"),
+      ("turn2", "mentions", "e1"), ("turn2", "mentions", "e2"),
+      ("turn3", "mentions", "e9"), // e9 has no type edge (created entity)
+      ("e1", "type", "disease"), ("e2", "type", "drug"),
+      ("e3", "type", "disease"),
+      ("e1", "alias", "x")) // non-mention/type edges must be ignored
+      .toDF("subj", "pred", "obj")
+  }
+
+  test("coMentions: pairs through the turn hub, a<b orientation, support counts") {
+    val out = GraphOps.coMentions(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("e1", "e2") -> 2L, ("e1", "e3") -> 1L, ("e2", "e3") -> 1L), out)
+  }
+
+  test("twoHopTypes: mention volume per ontology type; untyped mentions drop") {
+    val out = GraphOps.twoHopTypes(triples).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // disease: e1 (turn1, turn2) + e3 (turn1) = 3 mentions over 2 turns;
+    // drug: e2 twice; e9 (no type) contributes nothing
+    assert(out == Map("disease" -> ((3L, 2L)), "drug" -> ((2L, 2L))), out)
+  }
+}
