@@ -262,18 +262,33 @@ object Bench {
       else s""","error_queries":${errors.keys.take(5).map(jq).mkString("[", ",", "]")},"n_retries":${retries.size}"""
     val scalingC = scaling.map { case (c, runs) =>
       f""""$c":${median(runs)}%.0f""" }.mkString("{", ",", "}")
-    def compactLine(qFmt: Double => String): String = {
-      val qsC = results.map { case (k, v) => jq(k) + ":" + qFmt(v) }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
+    def compactLine(qEntries: Seq[(String, Double)], omitted: Int): String = {
+      val qsC = qEntries.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      val omitPart = if (omitted == 0) "" else s""","q_omitted":$omitted"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC$omitPart,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
     }
-    // precision degrades before the line can outgrow the tail window: query
-    // walls at centiseconds normally, deciseconds if the query set has
-    // grown the line past ~1950 chars (the budget is 2000 minus newline)
-    var compact = compactLine(v => f"$v%.2f")
-    if (compact.length > 1950) compact = compactLine(v => f"$v%.1f")
+    // the query set has outgrown a full per-query listing (69+ names at 2
+    // decimals is ~2020 chars alone), so the compact line lists the SLOWEST
+    // queries that fit a hard 1880-char budget (2000-char tail, minus
+    // newline and slack for stray trailing log lines) and counts the rest
+    // in q_omitted — the full per-query map is always in the file document
+    // and the full stdout line above. Slowest-first because the fast tail
+    // carries no information the total doesn't.
+    val bySlowest = results.sortBy(-_._2)
+    var compact = compactLine(bySlowest, 0)
+    if (compact.length > 1880) {
+      // fixed cost of the empty-queries line, then greedily add entries
+      val base = compactLine(Nil, results.size).length
+      var budget = 1880 - base
+      val keep = bySlowest.takeWhile { case (k, _) =>
+        val cost = k.length + 3 + 6 + 1 // "name":12.34,
+        if (budget - cost >= 0) { budget -= cost; true } else false
+      }
+      compact = compactLine(keep.sortBy(_._1), results.size - keep.size)
+    }
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING compact JSON line ${compact.length} chars" +
-        " — exceeds the 2000-char driver tail budget even at 1-decimal, trim fields")
+        " — exceeds the 2000-char driver tail budget, trim fields")
     println(compact)
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed")
   }
