@@ -106,7 +106,7 @@ object SparkEntry {
     drain(kgCache)(_.release())
     drain(writtenTriples)(_ => ())
     drain(bucketedTables)(_ => ())
-    Seq(setsCache, lshPairsCache, embCache, probeCache)
+    Seq(setsCache, lshPairsCache, incPairsCache, embCache, probeCache)
       .foreach(drain(_)(_.unpersist(false)))
     drain(ivfCache)(_._2.unpersist(false))
   }
@@ -184,6 +184,35 @@ object SparkEntry {
       // cheaper default stays for bench/scale paths (Dedup class doc math)
       val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6, numHashes = 128, bands = 32,
         onCache = c => cand = Some(c)).persist()
+      out.count()
+      cand.foreach(_.unpersist(false))
+      out
+    })
+
+  /** Incremental-dedup pairs, memoized per (session, dir). Exercises the
+    * full production shape end to end: the kept corpus (a deterministic
+    * 80% split-hash side of the documents table) has its banded signature
+    * INDEX written to parquet and read back — the persistent artifact a
+    * per-crawl-drop pipeline keeps between batches — and the "new batch"
+    * (the other 20%) computes only its own signatures and bucket-joins the
+    * index. 128/32 pinned for the same gate-immunity math as
+    * `minhashPairs`. Same eager-materialize + candidate-release treatment. */
+  private val incPairsCache = new ConcurrentHashMap[String, DataFrame]()
+  private def incrementalPairs(s: SparkSession, dir: String): DataFrame =
+    incPairsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
+      val sets = shingleSets(s, dir)
+      val isOld = graft.operators.Corpus.splitResidue(col("doc_id")) < 80
+      val oldSets = sets.filter(isOld)
+      val newSets = sets.filter(!isOld)
+      val idxPath =
+        s"/tmp/graft_lsh_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Dedup.bandedSignatures(oldSets, 128, 32)
+        .write.mode("overwrite").parquet(idxPath)
+      var cand: Option[DataFrame] = None
+      val out = Dedup.incrementalLsh(oldSets, newSets, 0.6,
+          numHashes = 128, bands = 32,
+          indexBanded = Some(s.read.parquet(idxPath)),
+          onCache = c => cand = Some(c)).persist()
       out.count()
       cand.foreach(_.unpersist(false))
       out
@@ -526,6 +555,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsPlusExactCopies(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.jaccardPairs(shingleSets(s, dir), 0.6)),
     "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+    // incremental dedup: new-batch (20% split) vs kept-corpus (80%) + vs
+    // itself via the parquet-persisted banded signature index — old×old
+    // pairs are structurally never emitted. Twin: the exhaustive jaccard
+    // join restricted to pairs touching at least one new doc.
+    "dedup_incremental" -> ((s, dir) => incrementalPairs(s, dir)),
     // signatures over the corpus-plus-exact-copies so near-dup pairs exist;
     // the pairs query below re-derives candidates from these very signatures
     "dedup_simhash" -> ((s, dir) =>
@@ -845,6 +879,11 @@ object SparkEntry {
           ") GROUP BY md5(text)"),
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql, // LSH recall is 1 at tau=0.6 on this corpus
+      // the exhaustive pair set minus both-old pairs (non-negative doc_ids
+      // make the bare % the same residue as the engine's pmod)
+      "dedup_incremental" ->
+        (s"SELECT doc_a, doc_b, jaccard FROM ($jaccardSql) " +
+          "WHERE NOT ((doc_a * 48271) % 100 < 80 AND (doc_b * 48271) % 100 < 80)"),
       // independent re-derivation of the transitive clusters: recursive-CTE
       // reachability over the (already hash-gated) engine pair dump, rep =
       // min reachable id — gates the CC clustering logic itself

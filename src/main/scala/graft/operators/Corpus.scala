@@ -38,7 +38,7 @@ object Corpus {
     * multiplier is small enough that id*48271 never overflows int64 for
     * realistic ids, |id| < 1.9e14 (overflow WRAPS in Spark but ERRORS in
     * DuckDB, so the twin would diverge — that bound is the contract). */
-  private[operators] def splitResidue(id: Column): Column =
+  private[graft] def splitResidue(id: Column): Column =
     pmod(id * lit(48271L), lit(100L))
 
   /** Deterministic train/val split by arithmetic hash of the id: the same

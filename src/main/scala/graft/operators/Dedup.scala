@@ -163,6 +163,34 @@ object Dedup {
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Banded minhash signatures: (doc_id, band_idx, bucket) — one row per
+    * document per band. This frame IS the LSH signature index: written to
+    * parquet it becomes the persistent side of incremental dedup (a new
+    * batch computes only its OWN signatures and bucket-joins against it —
+    * the corpus is never re-shingled, never re-paired). Shingles are
+    * murmur-hashed to their two (h1, h2) lanes BEFORE the per-doc
+    * aggregation, so the signature shuffle moves (after the map-side
+    * partial fold) one H-lane signature per doc per map partition instead
+    * of 16 bytes per shingle — at corpus scale the shuffle bytes ARE the
+    * cost of this stage. */
+  def bandedSignatures(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val hashPair = udf((s: String) => shingleHashes(s))
+    val sigAgg = udaf(new MinhashSigAgg(numHashes))
+    val bandHash = udf((sig: Seq[Long]) =>
+      Array.tabulate(bands) { b =>
+        val h = sig.slice(b * rows, (b + 1) * rows)
+          .foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
+        (b, h)
+      })
+    sets
+      .select(col("doc_id"), hashPair(col("shingle")).as("hp"))
+      .groupBy("doc_id").agg(sigAgg(col("hp._1"), col("hp._2")).as("sig"))
+      .withColumn("band", explode(bandHash(col("sig"))))
+      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+  }
+
   /** LSH candidate pairs: band the signatures, bucket-join, emit distinct
     * (doc_a < doc_b) pairs. Buckets are tiny (near-dup clusters), so the
     * per-bucket pair expansion is safe; the signature fold is ONE
@@ -177,26 +205,7 @@ object Dedup {
   def minhashCandidates(sets: DataFrame, numHashes: Int, bands: Int,
                         maxBucket: Int = 4096,
                         skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    // shingles are murmur-hashed to their two (h1, h2) lanes BEFORE the
-    // per-doc aggregation, so the signature shuffle moves (after the
-    // map-side partial fold) one H-lane signature per doc per map partition
-    // instead of 16 bytes per shingle — at corpus scale the shuffle bytes
-    // ARE the cost of this stage
-    val hashPair = udf((s: String) => shingleHashes(s))
-    val sigAgg = udaf(new MinhashSigAgg(numHashes))
-    val bandHash = udf((sig: Seq[Long]) =>
-      Array.tabulate(bands) { b =>
-        val h = sig.slice(b * rows, (b + 1) * rows)
-          .foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
-        (b, h)
-      })
-    val banded = sets
-      .select(col("doc_id"), hashPair(col("shingle")).as("hp"))
-      .groupBy("doc_id").agg(sigAgg(col("hp._1"), col("hp._2")).as("sig"))
-      .withColumn("band", explode(bandHash(col("sig"))))
-      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("bucket"))
+    val banded = bandedSignatures(sets, numHashes, bands)
     val pairsInBucket = udf((ids: Seq[Long]) => {
       val s = ids.distinct.sorted
       for { i <- s.indices; j <- (i + 1) until s.size } yield (s(i), s(j))
@@ -255,6 +264,87 @@ object Dedup {
     val cand = minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist()
     onCache(cand)
     jaccardForPairs(sets, cand, tau)
+  }
+
+  /** Incremental LSH candidates: pairs touching AT LEAST ONE new document.
+    * `indexBanded` is the kept corpus's signature index (bandedSignatures,
+    * typically read back from parquet); `newBanded` is the incoming batch's
+    * — built with the SAME (numHashes, bands) family, which the hash math
+    * requires and the caller owns. Both sides union into one (band_idx,
+    * bucket) groupBy; inside a bucket, pairs with two old members are
+    * FILTERED IN THE EMIT UDF (the corpus was already deduped against
+    * itself — re-verifying old×old would make every batch cost
+    * O(corpus²/buckets) instead of O(batch)). A doc id present on BOTH
+    * sides is treated as old (idempotent re-submission of an indexed doc
+    * pairs it with nothing twice). Bucket caps and the skip accumulator
+    * work exactly as in `minhashCandidates`; old-heavy degenerate buckets
+    * are the common web case (boilerplate families live in the index), so
+    * the cap bounds each batch's worst bucket by maxBucket·|new∩bucket|,
+    * not maxBucket². */
+  def incrementalCandidates(indexBanded: DataFrame, newBanded: DataFrame,
+                            maxBucket: Int = 4096,
+                            skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val tagged = indexBanded.select(col("doc_id"), col("band_idx"), col("bucket"), lit(false).as("is_new"))
+      .unionByName(newBanded.select(col("doc_id"), col("band_idx"), col("bucket"), lit(true).as("is_new")))
+    val pairsInBucket = udf((members: Seq[Row]) => {
+      // old wins on duplicate ids (idempotent re-submission: is_new is the
+      // AND of the flags seen); sorted ids give doc_a < doc_b orientation
+      val byId = scala.collection.mutable.LinkedHashMap[Long, Boolean]()
+      members.foreach { r =>
+        val id = r.getLong(0); val isNew = r.getBoolean(1)
+        byId(id) = byId.getOrElse(id, true) && isNew
+      }
+      val s = byId.toSeq.sortBy(_._1)
+      for {
+        i <- s.indices; j <- (i + 1) until s.size
+        if s(i)._2 || s(j)._2
+      } yield (s(i)._1, s(j)._1)
+    })
+    val keepBucket = udf((n: Int) => {
+      if (n > maxBucket) { skipped.foreach(_.add(1L)); false } else n > 1
+    }).asNondeterministic()
+    tagged.groupBy("band_idx", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("members"))
+      .filter(keepBucket(size(col("members"))))
+      .select(explode(pairsInBucket(col("members"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+  }
+
+  /** Incremental MinHash-LSH near-dup pairs: the incoming batch vs the
+    * kept corpus AND vs itself, never corpus×corpus — the O(batch) path a
+    * production training pipeline runs per crawl drop. Emits exactly the
+    * LSH-candidate ∩ (jaccard >= tau) pairs among {new×old, new×new};
+    * equals the exhaustive cross-join wherever band recall is 1 (same
+    * math as `minhashLsh`). `oldSets`/`newSets` are the shingle-set frames
+    * (the verify step needs real sets; at scale the old side is pruned to
+    * candidate members by the broadcast semi-join inside
+    * `jaccardForPairs`, so only bucket-mates' sets are ever read).
+    * `indexBanded` defaults to deriving from oldSets; pass a parquet-read
+    * index to skip the corpus signature pass entirely. */
+  def incrementalLsh(oldSets: DataFrame, newSets: DataFrame, tau: Double,
+                     numHashes: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 4096,
+                     indexBanded: Option[DataFrame] = None,
+                     onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = newSets.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.minhash.incremental_skipped_buckets")
+    val idx = indexBanded.getOrElse(bandedSignatures(oldSets, numHashes, bands))
+    val cand = incrementalCandidates(idx,
+      bandedSignatures(newSets, numHashes, bands), maxBucket, Some(acc)).persist()
+    onCache(cand)
+    // the verify corpus: one set per candidate doc, OLD WINS on an id
+    // present on both sides (a re-submitted doc keeps its indexed text as
+    // identity — its new-side rows would otherwise double its shingles and
+    // shift every jaccard it takes part in). Pruning to candidate members
+    // FIRST keeps the anti-join bucket-scale: candDocs is broadcast and the
+    // dedup join never touches the corpus-sized frames.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val oldPruned = oldSets.join(broadcast(candDocs), "doc_id")
+    val newPruned = newSets.join(broadcast(candDocs), "doc_id")
+      .join(oldPruned.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    jaccardForPairs(oldPruned.unionByName(newPruned), cand, tau)
   }
 
   /** Near-dup CLUSTERS over verified pairs — the step an actual corpus
