@@ -500,6 +500,13 @@ object SparkEntry {
       GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))),
     "kg_twohop_type" -> ((s, dir) =>
       GraphOps.twoHopTypes(kg(s, dir).triples.select("subj", "pred", "obj"))),
+    // fixed-point PageRank (3 iterations) over the co-mention graph: every
+    // op is int64, so the DuckDB twin — the same three iterations unrolled
+    // as SQL over the golden-oracle triples — must agree BIT-EXACTLY, not
+    // approximately (float PageRank can never be hash-gated across engines)
+    "kg_pagerank" -> ((s, dir) =>
+      GraphOps.pageRankFp(
+        GraphOps.comentionEdges(kg(s, dir).triples.select("subj", "pred", "obj")), 3)),
     "a1_count_tables" -> ((s, dir) =>
       tbl(s, dir, "documents").agg(lit("documents").as("tbl"), count(lit(1)).as("n"))
         .union(tbl(s, dir, "events").agg(lit("events").as("tbl"), count(lit(1)).as("n")))
@@ -820,6 +827,27 @@ object SparkEntry {
           |SELECT a.ent AS entity_a, b.ent AS entity_b, count(*) AS n_turns
           |FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
           |GROUP BY 1, 2""").stripMargin,
+      "kg_pagerank" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |e AS (
+          |  SELECT DISTINCT a.ent AS src, b.ent AS dst
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent),
+          |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          |c AS (SELECT 1000000000000 // count(*) AS r0,
+          |             (15 * (1000000000000 // count(*))) // 100 AS tele FROM d),
+          |r0 AS (SELECT src AS ent, (SELECT r0 FROM c) AS rank FROM d),
+          |r1 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r0 r ON r.ent = e.src GROUP BY e.dst),
+          |r2 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r1 r ON r.ent = e.src GROUP BY e.dst),
+          |r3 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
+          |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
       "kg_twohop_type" ->
         ("""WITH t AS (
           |  SELECT subj AS ent, obj AS entity_type

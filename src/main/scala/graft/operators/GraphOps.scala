@@ -48,4 +48,68 @@ object GraphOps {
         count(lit(1)).as("n_mentions"),
         countDistinct(col("turn")).as("n_turns"))
   }
+
+  /** Directed co-mention edge list (both orientations of every undirected
+    * co-mention pair): the symmetric graph pageRankFp and other iterative
+    * algorithms run on. Distinct (src, dst) — support counts live in
+    * `coMentions`; the traversal layer is unweighted. */
+  def comentionEdges(triples: DataFrame): DataFrame = {
+    val m = triples.filter(col("pred") === "mentions")
+      .select(col("subj").as("turn"), col("obj").as("ent"))
+    m.as("a").join(m.as("b"),
+        col("a.turn") === col("b.turn") && col("a.ent") =!= col("b.ent"))
+      .select(col("a.ent").as("src"), col("b.ent").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank in 64-bit FIXED-POINT arithmetic — every operation is an
+    * int64 multiply / integer division / sum, so the result is bit-exact
+    * on ANY engine, any partitioning, any addition order (float PageRank
+    * differs in the last ulps between engines because double addition is
+    * not associative; an integer sum is). Ranks carry `scale` units of
+    * probability mass (default 1e12 — 12 significant digits, and the
+    * overflow headroom is wide: total mass is ~scale, so the worst
+    * 85×sum term stays below 1e14 « 2^63). Damping 0.85 and teleport
+    * 0.15/N are exact integer spellings:
+    *
+    *   r0(v)   = scale div N
+    *   tele    = (15 * (scale div N)) div 100
+    *   r_k+1(v)= tele + (85 * Σ_{u→v} (r_k(u) div deg(u))) div 100
+    *
+    * `edges` must be a DIRECTED edge list where every node appears as BOTH
+    * src and dst (symmetric graphs — comentionEdges — satisfy this
+    * trivially): src-side guarantees no dangling mass, dst-side guarantees
+    * every node's rank survives the per-iteration aggregate. Truncation is
+    * the only mass leak (≤ deg ulps per node per round, bounded and
+    * deterministic). Fixed `iterations` (not convergence-
+    * tested): deterministic cost, and the K-step rank is itself a
+    * well-defined centrality. Each iteration is ONE join of the edge list
+    * with the (node-sized) rank frame plus one dst-keyed aggregate — at
+    * 100 TB the edge list partitioning is reused across iterations and
+    * the rank frame is the only thing that changes. Lineage is severed
+    * every `checkpointEvery` rounds (localCheckpoint; same discipline as
+    * ConnectedComponents — an unsevered K-iteration plan re-analyzes
+    * exponentially on real pipeline inputs). */
+  def pageRankFp(edges: DataFrame, iterations: Int,
+                 scale: Long = 1000000000000L,
+                 checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "pageRankFp: empty edge list")
+    val r0 = scale / n
+    val tele = (15L * r0) / 100L
+    var ranks = deg.select(col("src").as("ent"), lit(r0).as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("ent", "src"), "src")
+        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
+      ranks = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
+        .select(col("ent"), (lit(tele) + expr("(85 * s) div 100")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("ent"), col("rank").as("rank_fp"))
+  }
 }

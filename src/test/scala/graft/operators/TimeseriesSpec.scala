@@ -142,4 +142,48 @@ class TimeseriesSpec extends AnyFunSuite {
     // drug: e2 twice; e9 (no type) contributes nothing
     assert(out == Map("disease" -> ((3L, 2L)), "drug" -> ((2L, 2L))), out)
   }
+
+  /** Driver-side fixed-point PageRank — the independent model the
+    * distributed operator must match to the last unit. */
+  private def brutePageRank(edges: Seq[(String, String)], iters: Int,
+                            scale: Long): Map[String, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size
+    val tele = (15L * (scale / n)) / 100L
+    var r = deg.keys.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = contrib.map { case (v, s) => v -> (tele + (85L * s) / 100L) }
+    }
+    r
+  }
+
+  test("pageRankFp matches the brute-force fixed-point model to the unit") {
+    import spark.implicits._
+    // undirected triangle + pendant: {a-b, b-c, c-a, c-d} symmetric
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val sym = und ++ und.map(_.swap)
+    val out = GraphOps.pageRankFp(sym.toDF("src", "dst"), 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val model = brutePageRank(sym, 5, 1000000000000L)
+    assert(out == model, s"engine=$out\nmodel=$model")
+    // sanity on the semantics the units encode: c (deg 3) outranks the
+    // pendant d (deg 1), and total mass stays within truncation loss of 1.0
+    assert(out("c") > out("d"))
+    val mass = out.values.sum
+    assert(mass <= 1000000000000L && mass > 999000000000L, mass)
+  }
+
+  test("pageRankFp is bit-identical across parallelism and repartitioning") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val a = GraphOps.pageRankFp(sym.repartition(13), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = GraphOps.pageRankFp(sym.coalesce(1), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
