@@ -53,6 +53,20 @@ object SparkEntry {
     })
   }
 
+  /** Compacted twin of the triples sink, built once per (session, sf):
+    * the bin-packed, subj-sorted rewrite TripleEmitter.compact produces.
+    * The gate reads THIS store against the same golden-oracle twin as the
+    * live sink — content preservation under re-layout is the property. */
+  private val compactedTriples = new ConcurrentHashMap[String, String]()
+  private def compactedSink(s: SparkSession, dir: String): String = {
+    val src = triplesSink(s, dir)
+    compactedTriples.computeIfAbsent(src + "@" + s.hashCode(), _ => {
+      val out = src + "_compacted"
+      TripleEmitter.compact(s, src, out)
+      out
+    })
+  }
+
   /** One pipeline run per (session, sfDir), stages persisted so each kg_*
     * query reads memoized results instead of recomputing the DAG. */
   private[graft] def kg(spark: SparkSession, sfDir: String): KgPipeline.Outputs =
@@ -105,6 +119,7 @@ object SparkEntry {
     }
     drain(kgCache)(_.release())
     drain(writtenTriples)(_ => ())
+    drain(compactedTriples)(_ => ())
     drain(bucketedTables)(_ => ())
     Seq(setsCache, lshPairsCache, incPairsCache, embCache, probeCache)
       .foreach(drain(_)(_.unpersist(false)))
@@ -315,6 +330,10 @@ object SparkEntry {
     // bare graph surface (props map is driver-hash-unfriendly; the flat
     // kg_onehop_props query gates the props content)
     "kg_triples" -> ((s, dir) => kg(s, dir).triples.select("subj", "pred", "obj")),
+    // the compacted store must carry byte-identical content under its
+    // bin-packed subj-sorted re-layout — same oracle twin as kg_triples
+    "kg_triples_compacted" -> ((s, dir) =>
+      s.read.parquet(compactedSink(s, dir)).select("subj", "pred", "obj")),
     "kg_decisions" -> ((s, dir) => kg(s, dir).decisions
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score")),
     "kg_mentions" -> ((s, dir) => kg(s, dir).mentions
@@ -1133,6 +1152,8 @@ object SparkEntry {
       "kg_components" ->
         "SELECT * FROM read_parquet('{ORA}/kg_components/*.parquet')",
       "kg_triples" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
+      "kg_triples_compacted" ->
         "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
       "kg_decision_stats" ->
         "SELECT * FROM read_parquet('{ORA}/kg_decision_stats/*.parquet')",
