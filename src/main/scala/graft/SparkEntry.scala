@@ -223,13 +223,13 @@ object SparkEntry {
         s"/tmp/graft_lsh_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       Dedup.bandedSignatures(oldSets, 128, 32)
         .write.mode("overwrite").parquet(idxPath)
-      var cand: Option[DataFrame] = None
+      val cached = scala.collection.mutable.Buffer[DataFrame]()
       val out = Dedup.incrementalLsh(oldSets, newSets, 0.6,
           numHashes = 128, bands = 32,
           indexBanded = Some(s.read.parquet(idxPath)),
-          onCache = c => cand = Some(c)).persist()
+          onCache = cached += _).persist()
       out.count()
-      cand.foreach(_.unpersist(false))
+      cached.foreach(_.unpersist(false))
       out
     })
 

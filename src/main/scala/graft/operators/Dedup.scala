@@ -284,7 +284,20 @@ object Dedup {
   def incrementalCandidates(indexBanded: DataFrame, newBanded: DataFrame,
                             maxBucket: Int = 4096,
                             skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val tagged = indexBanded.select(col("doc_id"), col("band_idx"), col("bucket"), lit(false).as("is_new"))
+    // THE scale move: prune the corpus-sized index to buckets the batch
+    // actually touches BEFORE anything shuffles. Buckets with no new
+    // member cannot emit a pair (the emit UDF requires a new side), so the
+    // semi-join changes nothing semantically but turns the bucket groupBy
+    // from an O(index) shuffle into an O(batch × bucket-mates) one —
+    // without it, a 0.25% batch still paid a full-corpus exchange
+    // (measured 1.33× vs full re-dedup; 11.6× after). AQE broadcasts the
+    // touched-bucket list when the batch is small; a huge batch degrades
+    // gracefully to a shuffle join, which is fair — the work really is
+    // corpus-shaped then.
+    val touched = newBanded.select("band_idx", "bucket").distinct()
+    val idxPruned = indexBanded
+      .join(touched, Seq("band_idx", "bucket"), "left_semi")
+    val tagged = idxPruned.select(col("doc_id"), col("band_idx"), col("bucket"), lit(false).as("is_new"))
       .unionByName(newBanded.select(col("doc_id"), col("band_idx"), col("bucket"), lit(true).as("is_new")))
     val pairsInBucket = udf((members: Seq[Row]) => {
       // old wins on duplicate ids (idempotent re-submission: is_new is the
@@ -321,7 +334,16 @@ object Dedup {
     * candidate members by the broadcast semi-join inside
     * `jaccardForPairs`, so only bucket-mates' sets are ever read).
     * `indexBanded` defaults to deriving from oldSets; pass a parquet-read
-    * index to skip the corpus signature pass entirely. */
+    * index to skip the corpus signature pass entirely.
+    *
+    * Unlike `minhashLsh`, the candidate frame is materialized EAGERLY
+    * (count before the verify plan is built): the verify step references
+    * it from several broadcast subtrees, and broadcast exchanges execute
+    * as independent jobs that each re-ran the whole candidate chain when
+    * it was only lazily persisted — measured 10.7 s fused vs 6.5 s staged
+    * on the 5.1M-row boilerplate corpus. `onCache` fires for BOTH frames
+    * this operator persists (candidates first, then the pruned verify
+    * corpus); callers release them after materializing the result. */
   def incrementalLsh(oldSets: DataFrame, newSets: DataFrame, tau: Double,
                      numHashes: Int = 64, bands: Int = 16,
                      maxBucket: Int = 4096,
@@ -333,18 +355,24 @@ object Dedup {
     val cand = incrementalCandidates(idx,
       bandedSignatures(newSets, numHashes, bands), maxBucket, Some(acc)).persist()
     onCache(cand)
+    cand.count()
     // the verify corpus: one set per candidate doc, OLD WINS on an id
     // present on both sides (a re-submitted doc keeps its indexed text as
     // identity — its new-side rows would otherwise double its shingles and
     // shift every jaccard it takes part in). Pruning to candidate members
     // FIRST keeps the anti-join bucket-scale: candDocs is broadcast and the
-    // dedup join never touches the corpus-sized frames.
+    // dedup join never touches the corpus-sized frames. The pruned union is
+    // candidate-doc-sized and persisted: jaccardForPairs walks its `sets`
+    // argument three times (sizes + both intersection sides), which
+    // re-scanned the corpus-sized inputs each time when left lazy.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val oldPruned = oldSets.join(broadcast(candDocs), "doc_id")
     val newPruned = newSets.join(broadcast(candDocs), "doc_id")
       .join(oldPruned.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-    jaccardForPairs(oldPruned.unionByName(newPruned), cand, tau)
+    val verifySets = oldPruned.unionByName(newPruned).persist()
+    onCache(verifySets)
+    jaccardForPairs(verifySets, cand, tau)
   }
 
   /** Near-dup CLUSTERS over verified pairs — the step an actual corpus
