@@ -83,6 +83,16 @@ object Bench {
     // decisions -> CC -> triples), materialized by the triples count
     val (nTriples, kgCold) = timedKg(spark)
 
+    // diagnostic mode: cold/warm kg only, skipping the query loop — for
+    // attributing warm-throughput movement to the pipeline vs to heap/cache
+    // pressure left behind by the 70+-query sweep
+    if (sys.env.contains("SPARK_GRAFT_KG_ONLY")) {
+      SparkEntry.clearKg(spark, sfDir)
+      val (_, w) = timedKg(spark)
+      println(f"""{"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$w%.2f,"kg_tps":${nTriples / w}%.0f}""")
+      spark.stop(); return
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val retries = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -95,8 +105,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // warm second run: caches dropped, JVM/codegen hot => sustained tps
-    SparkEntry.clearKg(spark, sfDir)
+    // warm second run: caches dropped, JVM/codegen hot => sustained tps.
+    // clearSession, not just clearKg: the 70+-query sweep leaves operator
+    // memos (shingle sets, LSH pairs, embeddings, checkpoint blocks) whose
+    // storage pressure evicts/thrashes the warm run's own caching in the 8g
+    // heap — measured 15.5 s "warm" with leftovers vs 6.5 s clean (the
+    // number claims sustained PIPELINE throughput, so the pipeline must be
+    // what it measures)
+    SparkEntry.clearSession(spark)
     val (_, kgWarm) = timedKg(spark)
 
     // minhash-LSH crossover on the boilerplate-family corpus (see scaladoc):

@@ -510,6 +510,13 @@ object SparkEntry {
     "ev_sessions" -> ((s, dir) =>
       Timeseries.sessionStats(
         tbl(s, dir, "events"), "user_id", "ts", "event_id", 28800L, "value")),
+    // tumbling-window rollup: date_trunc is the shared spelling (both
+    // engines truncate the same UTC instant), decimal value sums for
+    // addition-order independence — one map-side-combined exchange
+    "ev_hourly_rollup" -> ((s, dir) => tbl(s, dir, "events")
+      .groupBy(col("event_type"),
+        Timeseries.epochMs(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
 
     // ---- 2-hop graph reads (operators/GraphOps) over the triple store,
     // twinned against the GOLDEN-oracle triples dump (independent compute
@@ -526,6 +533,19 @@ object SparkEntry {
     "kg_pagerank" -> ((s, dir) =>
       GraphOps.pageRankFp(
         GraphOps.comentionEdges(kg(s, dir).triples.select("subj", "pred", "obj")), 3)),
+    // degree-ordered triangle counting (clustering structure); the twin
+    // enumerates id-ordered a<b<c triangles — orientation-independence of
+    // the triangle set is part of what the gate checks
+    "kg_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(
+        GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))
+          .select(col("entity_a").as("a"), col("entity_b").as("b")))),
+    // neighborhood-overlap similarity (related entities one hop beyond
+    // co-occurrence) — the dedup layer's jaccard join over neighbor sets
+    "kg_entity_sim" -> ((s, dir) =>
+      GraphOps.neighborSimilarity(
+        GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))
+          .select(col("entity_a").as("a"), col("entity_b").as("b")), 0.25)),
     "a1_count_tables" -> ((s, dir) =>
       tbl(s, dir, "documents").agg(lit("documents").as("tbl"), count(lit(1)).as("n"))
         .union(tbl(s, dir, "events").agg(lit("events").as("tbl"), count(lit(1)).as("n")))
@@ -822,6 +842,11 @@ object SparkEntry {
           "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
           "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "ev_hourly_rollup" ->
+        ("SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, " +
+          "count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
+          "FROM events GROUP BY 1, 2"),
       "ev_sessions" ->
         ("""WITH o AS (
           |  SELECT user_id, ts, event_id, value,
@@ -867,6 +892,40 @@ object SparkEntry {
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      "kg_entity_sim" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |und AS (
+          |  SELECT DISTINCT a.ent AS a, b.ent AS b
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent),
+          |nb AS (SELECT a AS ent, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+          |sz AS (SELECT ent, count(*) AS sz FROM nb GROUP BY ent),
+          |i AS (
+          |  SELECT x.ent AS ea, y.ent AS eb, count(*) AS cnt
+          |  FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.ent < y.ent
+          |  GROUP BY 1, 2)
+          |SELECT ea AS entity_a, eb AS entity_b,
+          |       cnt / (sa.sz + sb.sz - cnt) AS jaccard
+          |FROM i JOIN sz sa ON sa.ent = ea JOIN sz sb ON sb.ent = eb
+          |WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.25""").stripMargin,
+      "kg_triangles" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |und AS (
+          |  SELECT DISTINCT a.ent AS a, b.ent AS b
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent),
+          |tri AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM und e1
+          |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+          |corners AS (
+          |  SELECT x AS ent FROM tri
+          |  UNION ALL SELECT y FROM tri
+          |  UNION ALL SELECT z FROM tri)
+          |SELECT ent, count(*) AS n_triangles FROM corners GROUP BY ent""").stripMargin,
       "kg_twohop_type" ->
         ("""WITH t AS (
           |  SELECT subj AS ent, obj AS entity_type

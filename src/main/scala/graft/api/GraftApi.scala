@@ -160,4 +160,36 @@ object GraftApi {
 
   /** GET /databases analog (main.py:236-270): configured db_keys. */
   def databases(router: DbRouter): Seq[String] = router.databases
+
+  /** get_related_entities analog widened by the graph layer
+    * (/root/reference/services/neo4j_database.py:437-471 returns the 1-hop
+    * relationship neighbors): direct co-mention partners ranked by shared-
+    * turn support, plus neighborhood-overlap similars
+    * (GraphOps.neighborSimilarity) that may never co-occur directly.
+    * Output: (entity, relation ∈ {comention, similar}, score) — support
+    * counts and jaccards are different scales on purpose; the relation
+    * column says which one you are reading. */
+  def relatedEntities(triples: DataFrame, entityId: String,
+                      tau: Double = 0.25): DataFrame = {
+    import graft.operators.GraphOps
+    val pairs = GraphOps.coMentions(triples)
+    val direct = pairs
+      .filter(col("entity_a") === entityId || col("entity_b") === entityId)
+      .select(
+        org.apache.spark.sql.functions
+          .when(col("entity_a") === entityId, col("entity_b"))
+          .otherwise(col("entity_a")).as("entity"),
+        lit("comention").as("relation"),
+        col("n_turns").cast("double").as("score"))
+    val similar = GraphOps.neighborSimilarity(
+        pairs.select(col("entity_a").as("a"), col("entity_b").as("b")), tau)
+      .filter(col("entity_a") === entityId || col("entity_b") === entityId)
+      .select(
+        org.apache.spark.sql.functions
+          .when(col("entity_a") === entityId, col("entity_b"))
+          .otherwise(col("entity_a")).as("entity"),
+        lit("similar").as("relation"),
+        col("jaccard").as("score"))
+    direct.unionByName(similar)
+  }
 }

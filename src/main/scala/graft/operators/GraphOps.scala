@@ -62,6 +62,65 @@ object GraphOps {
       .distinct()
   }
 
+  /** Entity-pair similarity by co-mention NEIGHBORHOOD overlap: jaccard of
+    * the two entities' neighbor sets, for pairs sharing at least one
+    * neighbor — the "related entities" read one hop beyond direct
+    * co-occurrence (two drugs never co-mentioned but prescribed alongside
+    * the same diseases). Node similarity IS a set-similarity join, so this
+    * delegates to the dedup layer's `jaccardPairs` with (entity, neighbor)
+    * standing in for (doc, shingle): same neighbor-blocked join, same
+    * bigint-division bit-parity with the SQL twin. Hub neighbors play the
+    * role hot shingles do there — at web scale, cap or df-filter them
+    * exactly as `shingleSets(maxDf)` does (a neighbor shared by k entities
+    * contributes k² blocked pairs). */
+  def neighborSimilarity(und: DataFrame, tau: Double): DataFrame = {
+    val nbrs = und.select(col("a").as("doc_id"), col("b").as("shingle"))
+      .unionByName(und.select(col("b").as("doc_id"), col("a").as("shingle")))
+    Dedup.jaccardPairs(nbrs, tau)
+      .select(col("doc_a").as("entity_a"), col("doc_b").as("entity_b"), col("jaccard"))
+  }
+
+  /** Per-entity triangle counts over an undirected (a < b) edge list —
+    * the clustering-structure read (how interlocked is an entity's
+    * co-mention neighborhood). Degree-ordered counting, the standard
+    * scale spelling: every edge is oriented from its lower-(deg, id)
+    * endpoint to the higher one, wedges are built only among each node's
+    * out-neighbors, and a wedge closes iff its (lower, higher) pair is
+    * itself an oriented edge. The orientation bounds per-node out-degree
+    * by O(sqrt(edges)) on any graph (arboricity bound), so the wedge
+    * self-join never explodes on hub nodes the way a naive
+    * neighbors-of-neighbors join does — the difference between feasible
+    * and not at web scale. Output: (ent, n_triangles), one row per entity
+    * that closes at least one triangle; the set of triangles (and so every
+    * count) is independent of the orientation, which is why the DuckDB
+    * twin can use plain id-ordered a<b<c enumeration. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("ent"))
+      .unionByName(und.select(col("b").as("ent")))
+      .groupBy("ent").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = lower endpoint; carry the dst's rank so
+    // wedge endpoints can be ordered without re-joining degrees
+    val withDeg = und
+      .join(deg.select(col("ent").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("ent").as("b"), col("deg").as("deg_b")), "b")
+    val aLower = (col("deg_a") < col("deg_b")) ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("deg_dst").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("deg_dst").as("dw"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val triangles = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("ent"))
+      .groupBy("ent").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank in 64-bit FIXED-POINT arithmetic — every operation is an
     * int64 multiply / integer division / sum, so the result is bit-exact
     * on ANY engine, any partitioning, any addition order (float PageRank

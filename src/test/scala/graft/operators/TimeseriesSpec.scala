@@ -176,6 +176,59 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(mass <= 1000000000000L && mass > 999000000000L, mass)
   }
 
+  test("triangleCounts matches brute-force enumeration (hubs, ties, orientation-independence)") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} (4 triangles, every vertex in 3), a pendant edge
+    // (d-e: no triangle), and a separate triangle {f,g,h}; degree ties
+    // everywhere in the second component exercise the (deg, id) tie-break
+    val und = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"),
+      ("f", "g"), ("f", "h"), ("g", "h"))
+    val brute = {
+      val es = und.toSet
+      def edge(x: String, y: String) =
+        es(if (x < y) (x, y) else (y, x))
+      val vs = und.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val tris = for {
+        i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+        if edge(vs(i), vs(j)) && edge(vs(i), vs(k)) && edge(vs(j), vs(k))
+      } yield Seq(vs(i), vs(j), vs(k))
+      tris.flatten.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    }
+    val out = GraphOps.triangleCounts(und.toDF("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == brute, s"engine=$out\nbrute=$brute")
+    assert(out("a") == 3L && out("f") == 1L && !out.contains("e"))
+  }
+
+  test("GraftApi.relatedEntities: direct co-mention partners plus neighborhood similars") {
+    val out = graft.api.GraftApi.relatedEntities(triples, "e1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // direct: e2 in 2 shared turns, e3 in 1; similar: both at jaccard 1/3
+    // (N(e1)={e2,e3}, N(e2)={e1,e3}, N(e3)={e1,e2}); e9 (isolated) absent
+    assert(out == Map(
+      ("e2", "comention") -> 2.0, ("e3", "comention") -> 1.0,
+      ("e2", "similar") -> 1.0 / 3, ("e3", "similar") -> 1.0 / 3), out)
+  }
+
+  test("neighborSimilarity: jaccard over neighbor sets, tau-filtered, hand-checked") {
+    import spark.implicits._
+    // N(a)={b,c} N(b)={a,c} N(c)={a,b,d} N(d)={c}: (a,d) and (b,d) share
+    // only c but have tiny unions -> 1/2; (a,b)=1/3; (a,c)=(b,c)=1/4;
+    // (c,d) shares NO neighbor and must not appear at any tau. tau=0.4
+    // keeps only the 1/2 pairs; tau=0.2 admits all four below it
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val out = GraphOps.neighborSimilarity(und, 0.4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(("a", "d") -> 0.5, ("b", "d") -> 0.5), out)
+    val loose = GraphOps.neighborSimilarity(und, 0.2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(loose == Map(
+      ("a", "d") -> 0.5, ("b", "d") -> 0.5, ("a", "b") -> 1.0 / 3,
+      ("a", "c") -> 0.25, ("b", "c") -> 0.25), loose)
+  }
+
   test("pageRankFp is bit-identical across parallelism and repartitioning") {
     import spark.implicits._
     val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
