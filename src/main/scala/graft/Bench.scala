@@ -196,7 +196,15 @@ object Bench {
     // "Block rdd_X_N does not exist" (observed ~1/12 runs). A retry keeps
     // the median over the full nRuns; recovered flakes are recorded under
     // `retries` in the JSON so they never pass silently.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    // the ≥0.8 criterion rides on the 1→4 pair, and local_1 shows ±20%
+    // run-to-run spread on this VM — at 3 runs the median's own noise makes
+    // the threshold a coin flip (measured 0.778 / 0.846 / 0.949 across
+    // same-code invocations). The evidence pair gets 5 runs; the
+    // informational 8/32 counts stay at 3. SPARK_GRAFT_SCALE_RUNS, when
+    // set, applies to every core count.
+    val nRunsEnv = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt)
+    def nRunsFor(c: Int): Int =
+      nRunsEnv.getOrElse(if (c == 1 || c == 4) 5 else 3)
     val scalingCores = Seq(1, 4, 8, 32)
     val scaling = scala.collection.mutable.LinkedHashMap[Int, Seq[Double]]()
     scalingCores.foreach { c =>
@@ -214,7 +222,7 @@ object Bench {
           tps
         } finally s.stop()
       }
-      val runs = (1 to nRuns).flatMap { i =>
+      val runs = (1 to nRunsFor(c)).flatMap { i =>
         (1 to 2).view.map { attempt =>
           try Some(once())
           catch { case e: Throwable =>

@@ -53,6 +53,21 @@ object SparkEntry {
     })
   }
 
+  /** Co-mention pairs (entity_a < entity_b, n_turns), memoized + persisted
+    * per (session, dir): the turn-hub self-join feeds four graph queries
+    * (comention, triangles, entity_sim, relatedEntities), and operators
+    * like triangleCounts reference their edge input several times — an
+    * unmemoized frame re-ran the self-join per lineage reference (measured
+    * 12.9 s kg_triangles at sf0.1; ~1 s on the persisted pairs). */
+  private val comentionCache = new ConcurrentHashMap[String, DataFrame]()
+  private def comentionPairs(s: SparkSession, dir: String): DataFrame =
+    comentionCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
+      val p = GraphOps.coMentions(
+        kg(s, dir).triples.select("subj", "pred", "obj")).persist()
+      p.count()
+      p
+    })
+
   /** Compacted twin of the triples sink, built once per (session, sf):
     * the bin-packed, subj-sorted rewrite TripleEmitter.compact produces.
     * The gate reads THIS store against the same golden-oracle twin as the
@@ -121,7 +136,7 @@ object SparkEntry {
     drain(writtenTriples)(_ => ())
     drain(compactedTriples)(_ => ())
     drain(bucketedTables)(_ => ())
-    Seq(setsCache, lshPairsCache, incPairsCache, embCache, probeCache)
+    Seq(setsCache, lshPairsCache, incPairsCache, comentionCache, embCache, probeCache)
       .foreach(drain(_)(_.unpersist(false)))
     drain(ivfCache)(_._2.unpersist(false))
   }
@@ -522,30 +537,31 @@ object SparkEntry {
     // twinned against the GOLDEN-oracle triples dump (independent compute
     // path end to end: pure-Scala oracle emits the edges, DuckDB does the
     // traversal)
-    "kg_comention" -> ((s, dir) =>
-      GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))),
+    "kg_comention" -> ((s, dir) => comentionPairs(s, dir)),
     "kg_twohop_type" -> ((s, dir) =>
       GraphOps.twoHopTypes(kg(s, dir).triples.select("subj", "pred", "obj"))),
     // fixed-point PageRank (3 iterations) over the co-mention graph: every
     // op is int64, so the DuckDB twin — the same three iterations unrolled
     // as SQL over the golden-oracle triples — must agree BIT-EXACTLY, not
-    // approximately (float PageRank can never be hash-gated across engines)
-    "kg_pagerank" -> ((s, dir) =>
+    // approximately (float PageRank can never be hash-gated across engines).
+    // Edges derive from the persisted pairs memo (both orientations).
+    "kg_pagerank" -> ((s, dir) => {
+      val p = comentionPairs(s, dir)
       GraphOps.pageRankFp(
-        GraphOps.comentionEdges(kg(s, dir).triples.select("subj", "pred", "obj")), 3)),
+        p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+          .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst"))), 3)
+    }),
     // degree-ordered triangle counting (clustering structure); the twin
     // enumerates id-ordered a<b<c triangles — orientation-independence of
     // the triangle set is part of what the gate checks
     "kg_triangles" -> ((s, dir) =>
-      GraphOps.triangleCounts(
-        GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))
-          .select(col("entity_a").as("a"), col("entity_b").as("b")))),
+      GraphOps.triangleCounts(comentionPairs(s, dir)
+        .select(col("entity_a").as("a"), col("entity_b").as("b")))),
     // neighborhood-overlap similarity (related entities one hop beyond
     // co-occurrence) — the dedup layer's jaccard join over neighbor sets
     "kg_entity_sim" -> ((s, dir) =>
-      GraphOps.neighborSimilarity(
-        GraphOps.coMentions(kg(s, dir).triples.select("subj", "pred", "obj"))
-          .select(col("entity_a").as("a"), col("entity_b").as("b")), 0.25)),
+      GraphOps.neighborSimilarity(comentionPairs(s, dir)
+        .select(col("entity_a").as("a"), col("entity_b").as("b")), 0.25)),
     "a1_count_tables" -> ((s, dir) =>
       tbl(s, dir, "documents").agg(lit("documents").as("tbl"), count(lit(1)).as("n"))
         .union(tbl(s, dir, "events").agg(lit("events").as("tbl"), count(lit(1)).as("n")))
