@@ -532,6 +532,28 @@ object SparkEntry {
       .groupBy(col("event_type"),
         Timeseries.epochMs(date_trunc("hour", col("ts"))).as("hour_ms"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
+    // EXACT rank-based quartiles (discrete: the element at rank
+    // ceil(q*n), no interpolation — interpolated quantiles are float
+    // arithmetic that differs in the last ulps across engines and can
+    // never be hash-gated; the discrete spelling is bit-stable and is
+    // spelled identically in the twin). One window pass per type; ties on
+    // value break by event_id so the ranked order itself is total. Scale
+    // note: the per-type window is a per-key sort — exact quantiles at
+    // 100 TB would use approx_percentile (t-digest) or a two-pass
+    // count+range-select; THIS spelling is the exact-parity gate, and its
+    // per-key sort bound is the hottest event_type's row count.
+    "ev_value_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("q",
+          when(col("rn") === ceil(col("n") * 0.25), lit("p25"))
+            .when(col("rn") === ceil(col("n") * 0.50), lit("p50"))
+            .when(col("rn") === ceil(col("n") * 0.75), lit("p75")))
+        .filter(col("q").isNotNull)
+        .select(col("event_type"), col("q"), col("value"))
+    }),
 
     // ---- 2-hop graph reads (operators/GraphOps) over the triple store,
     // twinned against the GOLDEN-oracle triples dump (independent compute
@@ -863,6 +885,19 @@ object SparkEntry {
           "count(*) AS n, " +
           "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
           "FROM events GROUP BY 1, 2"),
+      "ev_value_quartiles" ->
+        ("""WITH r AS (
+          |  SELECT event_type, value, event_id,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events)
+          |SELECT event_type,
+          |  CASE WHEN rn = ceil(n * 0.25) THEN 'p25'
+          |       WHEN rn = ceil(n * 0.50) THEN 'p50'
+          |       WHEN rn = ceil(n * 0.75) THEN 'p75' END AS q,
+          |  value
+          |FROM r
+          |WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.50) OR rn = ceil(n * 0.75)""").stripMargin,
       "ev_sessions" ->
         ("""WITH o AS (
           |  SELECT user_id, ts, event_id, value,
