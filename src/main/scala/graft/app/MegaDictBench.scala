@@ -104,6 +104,17 @@ object MegaDictBench {
       .master(s"local[$cores]")
       .appName(s"graft-megadict-$nDict")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE picks the real width DOWN from a high starting point: the
+      // session-width exchanges outside the pair DAG (mention prep, corpus
+      // ordering) sized per-task slices by `cores` alone, which blew
+      // execution memory at 8M turns × 32 tasks while width 128 completed
+      // — exactly the class of fixed-width failure the pair DAG's derived
+      // width already solves. A high initialPartitionNum + AQE coalesce is
+      // the no-knob spelling: big exchanges keep many small slices, small
+      // exchanges coalesce back to ~cores, and the 8M cell passes at
+      // DEFAULTS.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(shufflePartitions * 8, 256).toString)
       .config("spark.io.compression.codec", codec)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -128,9 +139,19 @@ object MegaDictBench {
     val dict = Synth.megaDictionary(nDict)
     val spec = Synth.Spec(nConv = nConv)
     val inputPath = s"/tmp/graft-megadict-$nConv-$nDict/transcripts"
+    // corpus family: the historical driver-side Seq up to 4M turns (byte-
+    // stable vs earlier BASELINE cells), the DISTRIBUTED generator beyond —
+    // an 8g driver cannot hold an 8M-turn Vector (measured OOM before Spark
+    // saw a row), and at 10^12 turns only distributed generation exists.
+    // GRAFT_GEN=dist|driver overrides.
+    val gen = sys.env.getOrElse("GRAFT_GEN",
+      if (nConv > 400000) "dist" else "driver")
     if (!new java.io.File(inputPath).exists()) {
       TranscriptSource.write(
-        TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict)), inputPath)
+        if (gen == "dist")
+          TranscriptSource.stableOrder(Synth.transcriptsDistributed(spark, spec, dict))
+        else TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict)),
+        inputPath)
     }
     val turns = TranscriptSource.read(spark, inputPath)
     val nTurns = turns.count() // warm FS cache, excluded from timing
@@ -177,7 +198,7 @@ object MegaDictBench {
         .map(r => s""""${r.getString(0)}->${r.getString(1)}":${r.getLong(2)}""")
         .mkString("{", ",", "}")
       prep.unpersist(false)
-      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":$n,"sweep_vs_reference_agreement":${ok.toDouble / math.max(n, 1L)},"disagreement_flips":$flips}""")
+      println(s"""{"bench":"kg_megadict_triangle","cores":$cores,"gen":"$gen","dict_entities":${dict.size},"turns":$nTurns,"sampled_mentions":$n,"sweep_vs_reference_agreement":${ok.toDouble / math.max(n, 1L)},"disagreement_flips":$flips}""")
       spark.stop()
       return
     }
@@ -226,7 +247,7 @@ object MegaDictBench {
         f""""$label":{"sampled_mentions":$n,"decision_agreement":${ok.toDouble / math.max(n, 1L)}%.6f,"wall_sec":$wall%.2f}"""
     }
 
-    println(s"""{"bench":"kg_megadict","cores":$cores,"dict_entities":${dict.size},"turns":$nTurns,$blockedJson,$refJson}""")
+    println(s"""{"bench":"kg_megadict","cores":$cores,"gen":"$gen","dict_entities":${dict.size},"turns":$nTurns,$blockedJson,$refJson}""")
     spark.stop()
   }
 }

@@ -335,55 +335,87 @@ object Synth {
     base ++ dups
   }
 
-  /** Deterministic transcripts with planted mentions. */
-  def transcripts(spec: Spec, dict: Seq[EntityRecord]): Seq[Turn] = {
-    val rnd = new Random(spec.seed + 1)
-    val hot = dict.head
+  /** One conversation's turns — the shared generation body for the
+    * sequential and distributed generators. `rnd` is consumed in a fixed
+    * order, so the caller's seeding discipline alone decides the stream. */
+  private def convTurns(spec: Spec, dict: scala.collection.IndexedSeq[EntityRecord],
+                        hot: EntityRecord, c: Int, rnd: Random): Seq[Turn] = {
     val baseTs = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val convId = f"conv_$c%06d"
     val out = Vector.newBuilder[Turn]
-    var c = 0
-    while (c < spec.nConv) {
-      val convId = f"conv_$c%06d"
-      var t = 0
-      while (t < spec.turnsPerConv) {
-        val sb = new StringBuilder(sentence(rnd, fillerVocab, 4 + rnd.nextInt(5)))
-        val isHot = rnd.nextDouble() < spec.hotRate
-        val doPlant = isHot || rnd.nextDouble() < spec.plantRate
-        if (doPlant) {
-          val e = if (isHot) hot else dict(rnd.nextInt(dict.size))
-          val surf = {
-            val ss = surfaces(e)
-            ss(rnd.nextInt(ss.size))
-          }
-          val mergeish = rnd.nextDouble() < spec.mergeRate
-          if (mergeish) {
-            // context borrows heavily from the entity's definition => high
-            // bge/ce => merge-leaning
-            val defWords = graft.core.TextSim.tokens(e.definition.getOrElse(""))
-            val k = math.min(defWords.length, 6 + rnd.nextInt(6))
-            sb.append(" ").append(surf).append(" ").append(defWords.take(k).mkString(" "))
-          } else if (rnd.nextDouble() < 0.5) {
-            // partial overlap => ambiguous-leaning
-            val defWords = graft.core.TextSim.tokens(e.definition.getOrElse(""))
-            sb.append(" ").append(surf).append(" ").append(defWords.take(3).mkString(" "))
-              .append(" ").append(sentence(rnd, fillerVocab, 4))
-          } else {
-            // filler-only context => create-leaning
-            sb.append(" ").append(surf).append(" ").append(sentence(rnd, fillerVocab, 5))
-          }
-          if (rnd.nextDouble() < 0.15) { // second plant in the same turn
-            val e2 = dict(rnd.nextInt(dict.size))
-            sb.append(" ").append(e2.name)
-          }
+    var t = 0
+    while (t < spec.turnsPerConv) {
+      val sb = new StringBuilder(sentence(rnd, fillerVocab, 4 + rnd.nextInt(5)))
+      val isHot = rnd.nextDouble() < spec.hotRate
+      val doPlant = isHot || rnd.nextDouble() < spec.plantRate
+      if (doPlant) {
+        val e = if (isHot) hot else dict(rnd.nextInt(dict.size))
+        val surf = {
+          val ss = surfaces(e)
+          ss(rnd.nextInt(ss.size))
         }
-        val role = roles(t % roles.size)
-        val tool = if (role == "tool") tools(2 + rnd.nextInt(3)) else ""
-        val ts = new Timestamp(baseTs + (c.toLong * spec.turnsPerConv + t) * 60000L)
-        out += Turn(convId, t, role, sb.toString, tool, ts)
-        t += 1
+        val mergeish = rnd.nextDouble() < spec.mergeRate
+        if (mergeish) {
+          // context borrows heavily from the entity's definition => high
+          // bge/ce => merge-leaning
+          val defWords = graft.core.TextSim.tokens(e.definition.getOrElse(""))
+          val k = math.min(defWords.length, 6 + rnd.nextInt(6))
+          sb.append(" ").append(surf).append(" ").append(defWords.take(k).mkString(" "))
+        } else if (rnd.nextDouble() < 0.5) {
+          // partial overlap => ambiguous-leaning
+          val defWords = graft.core.TextSim.tokens(e.definition.getOrElse(""))
+          sb.append(" ").append(surf).append(" ").append(defWords.take(3).mkString(" "))
+            .append(" ").append(sentence(rnd, fillerVocab, 4))
+        } else {
+          // filler-only context => create-leaning
+          sb.append(" ").append(surf).append(" ").append(sentence(rnd, fillerVocab, 5))
+        }
+        if (rnd.nextDouble() < 0.15) { // second plant in the same turn
+          val e2 = dict(rnd.nextInt(dict.size))
+          sb.append(" ").append(e2.name)
+        }
       }
-      c += 1
+      val role = roles(t % roles.size)
+      val tool = if (role == "tool") tools(2 + rnd.nextInt(3)) else ""
+      val ts = new Timestamp(baseTs + (c.toLong * spec.turnsPerConv + t) * 60000L)
+      out += Turn(convId, t, role, sb.toString, tool, ts)
+      t += 1
     }
     out.result()
+  }
+
+  /** Deterministic transcripts with planted mentions. ONE sequential random
+    * stream across conversations — the historical corpus family every
+    * BASELINE cell through 4M turns cites; byte-stable across rounds. */
+  def transcripts(spec: Spec, dict: Seq[EntityRecord]): Seq[Turn] = {
+    val rnd = new Random(spec.seed + 1)
+    val d = dict.toIndexedSeq
+    val hot = d.head
+    (0 until spec.nConv).flatMap(c => convTurns(spec, d, hot, c, rnd))
+  }
+
+  /** Distributed transcript generation: the same content MODEL as
+    * `transcripts` (same per-turn branching, rates, roles, timestamps) with
+    * PER-CONVERSATION seeding (spec.seed + 1 + 1000003·conv), so any
+    * executor can generate any conversation independently — the only
+    * fixture spelling that exists at 10^12 turns, where a driver-side Seq
+    * is impossible by construction (the 8M-turn cell OOMed the 8g driver
+    * building the Vector, before Spark saw a single row). NOT byte-equal
+    * to `transcripts` (different stream positions): cells measured on this
+    * family say so explicitly in BASELINE.md. Generation is deterministic
+    * per (seed, conv) regardless of partitioning or core count. */
+  def transcriptsDistributed(spark: org.apache.spark.sql.SparkSession, spec: Spec,
+                             dict: Seq[EntityRecord]): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(dict.toIndexedSeq)
+    val parts = math.max(spark.sparkContext.defaultParallelism * 4, 4)
+    spark.range(0, spec.nConv, 1, parts).as[Long].mapPartitions { it =>
+      val d = dictB.value
+      val hot = d.head
+      it.flatMap { c =>
+        val rnd = new Random(spec.seed + 1 + 1000003L * c)
+        convTurns(spec, d, hot, c.toInt, rnd)
+      }
+    }
   }
 }
