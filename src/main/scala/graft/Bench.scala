@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SCALE_RUNS times (default 3) and the JSON reports the MEDIAN
   * plus min/max spread — this shared VM shows up to ~25% run-to-run
   * variance, and a single-shot efficiency number is indistinguishable from
-  * wall-clock luck (round-2 lesson). efficiency(N->4N) =
+  * wall-clock luck (round-2 lesson). Round-6 protocol: each core count's
+  * round is accepted only if its min-max spread is < 1.5x; wider rounds are
+  * discarded (kept in the JSON as provenance with their per-run 1-min
+  * loadavg) and re-measured up to twice, and a core count that never meets
+  * the bar ships flagged "contended": true. efficiency(N->4N) =
   * tps_median(4N) / (4 * tps_median(N)). The host VM is linear only to ~8
   * threads (~14.5 effective cores; pure-ALU ceiling 8->32 = 0.47 —
   * BASELINE.md "host envelope"), so 1->4 is the in-envelope pair and 8->32
@@ -205,8 +209,30 @@ object Bench {
     val nRunsEnv = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt)
     def nRunsFor(c: Int): Int =
       nRunsEnv.getOrElse(if (c == 1 || c == 4) 5 else 3)
+    // r5 lesson (the dedup_heavy lesson recurring on a different metric):
+    // the driver's one artifact recorded a local_32 round with a 2.5x
+    // min-max spread — two contended draws — and the resulting eff_8_32
+    // (0.277) sat below even the measured memory-bandwidth ceiling, i.e.
+    // the artifact was readable only as noise. Protocol fix, not averaging:
+    // the bench SELF-DIAGNOSES contention. Each core count's round of runs
+    // is accepted only if its min-max spread is under SPREAD_MAX (1.5x);
+    // a wider round is discarded (kept verbatim in the JSON as provenance)
+    // and re-measured, up to 2 extra rounds. If every round is wide, the
+    // tightest one is used and the core count is flagged "contended": true.
+    // /proc/loadavg (1-min field) is sampled before every run so a
+    // contaminated draw is attributable after the fact.
+    val SPREAD_MAX = 1.5
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val scalingCores = Seq(1, 4, 8, 32)
-    val scaling = scala.collection.mutable.LinkedHashMap[Int, Seq[Double]]()
+    final case class ScaleRound(runs: Seq[Double], loads: Seq[Double]) {
+      def spread: Double = if (runs.isEmpty) -1.0 else runs.max / runs.min
+    }
+    val scaling = scala.collection.mutable.LinkedHashMap[Int, ScaleRound]()
+    val scalingDiscarded = scala.collection.mutable.LinkedHashMap[Int, Seq[ScaleRound]]()
+    val scalingContended = scala.collection.mutable.LinkedHashSet[Int]()
     scalingCores.foreach { c =>
       def once(): Double = {
         val s = newSession(c.toString)
@@ -222,30 +248,48 @@ object Bench {
           tps
         } finally s.stop()
       }
-      val runs = (1 to nRunsFor(c)).flatMap { i =>
-        (1 to 2).view.map { attempt =>
-          try Some(once())
-          catch { case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            System.err.println(
-              s"[bench] scaling local[$c] run $i attempt $attempt FAILED: $msg")
-            // contract: `retries` holds RECOVERED flakes only. A run whose
-            // retry also fails is a hard error — both attempts move to
-            // `errors` so n_retries never counts an unrecovered run
-            if (attempt == 2) {
-              errors(s"scaling_local_${c}_run${i}_attempt1") =
-                retries.remove(s"scaling_local_${c}_run${i}_attempt1").getOrElse("?")
-              errors(s"scaling_local_${c}_run${i}_attempt2") = msg
-            } else retries(s"scaling_local_${c}_run${i}_attempt1") = msg
-            None
-          }
-        }.collectFirst { case Some(tps) => tps }
+      def oneRound(round: Int): ScaleRound = {
+        val loads = scala.collection.mutable.ArrayBuffer[Double]()
+        val runs = (1 to nRunsFor(c)).flatMap { i =>
+          loads += loadavg()
+          (1 to 2).view.map { attempt =>
+            try Some(once())
+            catch { case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              System.err.println(
+                s"[bench] scaling local[$c] round $round run $i attempt $attempt FAILED: $msg")
+              // contract: `retries` holds RECOVERED flakes only. A run whose
+              // retry also fails is a hard error — both attempts move to
+              // `errors` so n_retries never counts an unrecovered run
+              val key = s"scaling_local_${c}_r${round}_run${i}_attempt1"
+              if (attempt == 2) {
+                errors(key) = retries.remove(key).getOrElse("?")
+                errors(s"scaling_local_${c}_r${round}_run${i}_attempt2") = msg
+              } else retries(key) = msg
+              None
+            }
+          }.collectFirst { case Some(tps) => tps }
+        }
+        ScaleRound(runs, loads.toSeq)
       }
-      if (runs.nonEmpty) scaling(c) = runs
+      var rounds = List(oneRound(1))
+      while (rounds.head.runs.nonEmpty && rounds.head.spread > SPREAD_MAX
+          && rounds.size <= 2) {
+        System.err.println(f"[bench] scaling local[$c] spread " +
+          f"${rounds.head.spread}%.2fx > $SPREAD_MAX — contended round, re-measuring")
+        rounds = oneRound(rounds.size + 1) :: rounds
+      }
+      val best = rounds.filter(_.runs.nonEmpty).sortBy(_.spread).headOption
+      best.foreach { b =>
+        scaling(c) = b
+        if (b.spread > SPREAD_MAX) scalingContended += c
+        val discarded = rounds.filter(_.runs.nonEmpty).filterNot(_ eq b)
+        if (discarded.nonEmpty) scalingDiscarded(c) = discarded
+      }
     }
     def eff(a: Int, b: Int): Double =
       if (scaling.contains(a) && scaling.contains(b))
-        median(scaling(b)) / ((b / a) * median(scaling(a)))
+        median(scaling(b).runs) / ((b / a) * median(scaling(a).runs))
       else -1.0
 
     def jq(s: String): String =
@@ -259,8 +303,14 @@ object Bench {
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val scalingJson = scaling.map { case (c, runs) =>
-      f""""local_$c":{"median":${median(runs)}%.1f,"min":${runs.min}%.1f,"max":${runs.max}%.1f,"runs":${runs.size}}"""
+    def loadsJson(ls: Seq[Double]) = ls.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val scalingJson = scaling.map { case (c, r) =>
+      val disc = scalingDiscarded.get(c).map { ds =>
+        "," + "\"discarded_rounds\":" + ds.map(d =>
+          f"""{"median":${median(d.runs)}%.1f,"spread":${d.spread}%.2f,"load_1m":${loadsJson(d.loads)}}"""
+        ).mkString("[", ",", "]")
+      }.getOrElse("")
+      f""""local_$c":{"median":${median(r.runs)}%.1f,"min":${r.runs.min}%.1f,"max":${r.runs.max}%.1f,"runs":${r.runs.size},"spread":${r.spread}%.2f,"contended":${scalingContended.contains(c)},"load_1m":${loadsJson(r.loads)}$disc}"""
     }.mkString("{", ",", "}")
     val total = kgCold + results.map(_._2).sum
     val json =
@@ -284,12 +334,17 @@ object Bench {
     val errPart =
       if (errors.isEmpty && retries.isEmpty) ""
       else s""","error_queries":${errors.keys.take(5).map(jq).mkString("[", ",", "]")},"n_retries":${retries.size}"""
-    val scalingC = scaling.map { case (c, runs) =>
-      f""""$c":${median(runs)}%.0f""" }.mkString("{", ",", "}")
+    val scalingC = scaling.map { case (c, r) =>
+      f""""$c":${median(r.runs)}%.0f""" }.mkString("{", ",", "}")
+    // contended core counts surface in the compact line too: an efficiency
+    // number whose inputs never met the spread bar must not read as clean
+    val contendedPart =
+      if (scalingContended.isEmpty) ""
+      else s""","scaling_contended":${scalingContended.mkString("[", ",", "]")}"""
     def compactLine(qEntries: Seq[(String, Double)], omitted: Int): String = {
       val qsC = qEntries.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
       val omitPart = if (omitted == 0) "" else s""","q_omitted":$omitted"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC$omitPart,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC$omitPart,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC$contendedPart,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
     }
     // the query set has outgrown a full per-query listing (69+ names at 2
     // decimals is ~2020 chars alone), so the compact line lists the SLOWEST
@@ -304,8 +359,10 @@ object Bench {
       // fixed cost of the empty-queries line, then greedily add entries
       val base = compactLine(Nil, results.size).length
       var budget = 1880 - base
-      val keep = bySlowest.takeWhile { case (k, _) =>
-        val cost = k.length + 3 + 6 + 1 // "name":12.34,
+      val keep = bySlowest.takeWhile { case (k, v) =>
+        // cost from the ACTUALLY formatted value — a fixed 6-char assumption
+        // undercounts any query at >= 1000 s and could blow the budget
+        val cost = k.length + 3 + f"$v%.2f".length + 1 // "name":12.34,
         if (budget - cost >= 0) { budget -= cost; true } else false
       }
       compact = compactLine(keep.sortBy(_._1), results.size - keep.size)

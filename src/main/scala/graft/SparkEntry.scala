@@ -82,6 +82,39 @@ object SparkEntry {
     })
   }
 
+  /** Incrementally-compacted twin of the triples sink, built once per
+    * (session, sf): the live store is COPIED to a work dir (the in-place
+    * swap must not disturb the memoized live sink other queries read), then
+    * ONLY the preds whose file count exceeds the per-store median are
+    * compacted-and-swapped (TripleEmitter.compactIncremental) — a genuinely
+    * MIXED store: hot partitions re-packed, cold partitions byte-untouched
+    * (file identity verified by the operator and required here). The gate
+    * reads the mixed store against the same golden twin as the live sink. */
+  private val incCompactedTriples = new ConcurrentHashMap[String, String]()
+  private def incCompactedSink(s: SparkSession, dir: String): String = {
+    val src = triplesSink(s, dir)
+    incCompactedTriples.computeIfAbsent(src + "@" + s.hashCode(), _ => {
+      val out = src + "_inccompact"
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcP = new org.apache.hadoop.fs.Path(src)
+      val fs = srcP.getFileSystem(conf)
+      val outP = new org.apache.hadoop.fs.Path(out)
+      fs.delete(outP, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcP, fs, outP, false, conf)
+      val counts = TripleEmitter.partitionFileCounts(s, out).values.toSeq.sorted
+      // midrange threshold: min <= thr < max whenever counts differ, so the
+      // hot set (> thr) and the cold set (<= thr) are BOTH nonempty — a
+      // median can coincide with max (sf0.001 does) and leave nothing hot
+      val thr = (counts.head + counts.last) / 2
+      val stats = TripleEmitter.compactIncremental(s, out, thr)
+      require(stats.predsCompacted.nonEmpty && stats.predsUntouched.nonEmpty,
+        s"incremental-compaction fixture must be MIXED, got $stats")
+      require(stats.untouchedPreserved,
+        s"untouched partitions were rewritten: $stats")
+      out
+    })
+  }
+
   /** One pipeline run per (session, sfDir), stages persisted so each kg_*
     * query reads memoized results instead of recomputing the DAG. */
   private[graft] def kg(spark: SparkSession, sfDir: String): KgPipeline.Outputs =
@@ -135,6 +168,7 @@ object SparkEntry {
     drain(kgCache)(_.release())
     drain(writtenTriples)(_ => ())
     drain(compactedTriples)(_ => ())
+    drain(incCompactedTriples)(_ => ())
     drain(bucketedTables)(_ => ())
     Seq(setsCache, lshPairsCache, incPairsCache, comentionCache, embCache, probeCache)
       .foreach(drain(_)(_.unpersist(false)))
@@ -271,6 +305,22 @@ object SparkEntry {
       (model, Similarity.ivfAssign(corpus, model).persist())
     })
 
+  /** Engine-derived auxiliary dumps for twins that re-derive a gated result
+    * from a model artifact (Verify writes them to the `{AUX}` dir): the IVF
+    * centroid table (cell, c). The ann_ivf_topk twin re-derives EVERYTHING
+    * downstream of the model — every corpus vector's cell assignment, each
+    * query's 2 probed cells (both via the same sequential-fold squared-L2
+    * the engine uses), and the in-cell cosine top-k — so the probe/assign/
+    * rank logic is fully gated; the model itself is additionally
+    * quality-gated by ann_ivf_recall's exact brute-force twin. */
+  private[graft] def dumpAux(s: SparkSession, dir: String, auxDir: String): Unit = {
+    import s.implicits._
+    val (model, _) = ivfIndex(s, dir)
+    s.createDataset(model.toSeq.map { case (cell, c) => (cell, c.toSeq) })
+      .toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
+  }
+
   /** Bucketed twin tables of events/customer (BucketedStore), written once
     * per (session, sf): both sides bucketBy the join key into the same
     * bucket count so the recurring 1-hop join is co-located — zero
@@ -349,6 +399,11 @@ object SparkEntry {
     // bin-packed subj-sorted re-layout — same oracle twin as kg_triples
     "kg_triples_compacted" -> ((s, dir) =>
       s.read.parquet(compactedSink(s, dir)).select("subj", "pred", "obj")),
+    // the MIXED store after incremental compact-then-swap (hot preds
+    // re-packed in place, cold preds byte-untouched) must still carry the
+    // exact live content — same golden twin again
+    "kg_triples_compacted_inc" -> ((s, dir) =>
+      s.read.parquet(incCompactedSink(s, dir)).select("subj", "pred", "obj")),
     "kg_decisions" -> ((s, dir) => kg(s, dir).decisions
       .select("mention_id", "surface", "decision", "match_id", "resolved_id", "final_score")),
     "kg_mentions" -> ((s, dir) => kg(s, dir).mentions
@@ -518,6 +573,22 @@ object SparkEntry {
           col("asof_value").as("view_value"),
           (Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("asof_ts"))).as("lag_ms"))
     }),
+    // LEFT as-of variant: clicks BEFORE the user's first view are kept with
+    // null view columns (the enrichment spelling; DuckDB ASOF LEFT JOIN is
+    // the independent twin). Same one-exchange plan minus the match filter.
+    "ev_asof_left" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Timeseries.asofJoinLeft(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_event_id"),
+          col("asof_value").as("view_value"),
+          (Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("asof_ts"))).as("lag_ms"))
+    }),
     // gap sessionization (8h gap: the fixture's median per-user gap is
     // ~7.3h, so both continue and break branches carry real volume); the
     // per-session aggregate reuses the window's key exchange — one shuffle
@@ -573,6 +644,17 @@ object SparkEntry {
         p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
           .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst"))), 3)
     }),
+    // DIRECTED PageRank with dangling-node mass over the turn -> entity
+    // mention graph — a real directed graph exercising BOTH shapes the
+    // symmetric operator cannot serve: every entity is a sink (no
+    // out-edges; its mass redistributes) and every turn is a source (no
+    // in-edges; it must survive each aggregate). 3 iterations, int64
+    // fixed-point => BIT-EXACT vs the SQL-unrolled twin over the
+    // golden-oracle triples.
+    "kg_pagerank_directed" -> ((s, dir) =>
+      GraphOps.pageRankDirected(
+        kg(s, dir).triples.filter(col("pred") === "mentions")
+          .select(col("subj").as("src"), col("obj").as("dst")), 3)),
     // degree-ordered triangle counting (clustering structure); the twin
     // enumerates id-ordered a<b<c triangles — orientation-independence of
     // the triangle set is part of what the gate checks
@@ -800,7 +882,7 @@ object SparkEntry {
 
   /** DuckDB twins.
     *
-    * Two path tokens are substituted by Verify at dump time (the SQL is
+    * Three path tokens are substituted by Verify at dump time (the SQL is
     * driver-executed later against the same filesystem):
     *  - `{ORA}`: the golden-oracle parquet dir (pure-Scala reference math,
     *    materialized by Verify next to its output dir) — gives the kg_*
@@ -808,7 +890,10 @@ object SparkEntry {
     *  - `{OUT}`: Verify's own output dir, for twins that verify a derived
     *    quantity over an engine dump (IVF recall vs the exact twin;
     *    simhash banded pairs re-derived from the dumped signatures;
-    *    winnow summaries re-derived from the dumped gram hashes).
+    *    winnow summaries re-derived from the dumped gram hashes);
+    *  - `{AUX}`: engine-derived model artifacts (SparkEntry.dumpAux) that
+    *    are inputs, not outputs — the IVF centroid table, from which the
+    *    ann_ivf_topk twin re-derives assignment, probing, and top-k.
     * Omitted only for dedup_simhash and text_gram_hashes (raw murmur
     * hashes, not expressible in DuckDB — rows-only; both are gated
     * transitively by the {OUT} twins that re-derive from them). */
@@ -880,6 +965,12 @@ object SparkEntry {
           "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
           "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "ev_asof_left" ->
+        ("SELECT l.event_id, l.user_id, r.event_id AS view_event_id, " +
+          "r.value AS view_value, epoch_ms(l.ts) - epoch_ms(r.ts) AS lag_ms " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
       "ev_hourly_rollup" ->
         ("SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, " +
           "count(*) AS n, " +
@@ -898,6 +989,11 @@ object SparkEntry {
           |  value
           |FROM r
           |WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.50) OR rn = ceil(n * 0.75)""").stripMargin,
+      // session_idx cast: DuckDB types a window sum over INT as HUGEINT,
+      // which the type-sensitive hash compare would reject even with equal
+      // values; BIGINT matches the engine column. (Audit note: the other
+      // twins' window sums / `//` divisions are all already ::BIGINT-cast —
+      // corpus_pack_blocks, kg_pagerank, mm_decode, dedup_simhash_pairs.)
       "ev_sessions" ->
         ("""WITH o AS (
           |  SELECT user_id, ts, event_id, value,
@@ -908,8 +1004,8 @@ object SparkEntry {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           |s AS (
           |  SELECT user_id, ts, event_id, value,
-          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+          |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
           |  FROM o)
           |SELECT user_id, session_idx, count(*) AS n_events,
           |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
@@ -942,6 +1038,42 @@ object SparkEntry {
           |r3 AS (SELECT e.dst AS ent,
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
+          |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      // directed PageRank with dangling mass, 3 iterations unrolled: nodes =
+      // turns ∪ entities; entities are dangling (their summed rank, divided
+      // by N, joins the 85% term); turns have no in-edges (LEFT join keeps
+      // them at tele + 85*dshare). All-integer => exact; final CAST because
+      // DuckDB types sums/`//` as HUGEINT.
+      "kg_pagerank_directed" ->
+        ("""WITH e AS (
+          |  SELECT subj AS src, obj AS dst
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |nodes AS (SELECT src AS ent FROM e UNION SELECT dst FROM e),
+          |c AS (SELECT count(*) AS n, 1000000000000 // count(*) AS r0,
+          |             (15 * (1000000000000 // count(*))) // 100 AS tele FROM nodes),
+          |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          |r0t AS (SELECT ent, (SELECT r0 FROM c) AS rank FROM nodes),
+          |ds1 AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM c) AS dshare
+          |        FROM r0t LEFT JOIN d ON r0t.ent = d.src WHERE d.src IS NULL),
+          |s1 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r0t r ON r.ent = e.src GROUP BY e.dst),
+          |r1 AS (SELECT nodes.ent, (SELECT tele FROM c)
+          |         + (85 * (coalesce(s1.s, 0) + (SELECT dshare FROM ds1))) // 100 AS rank
+          |       FROM nodes LEFT JOIN s1 USING (ent)),
+          |ds2 AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM c) AS dshare
+          |        FROM r1 LEFT JOIN d ON r1.ent = d.src WHERE d.src IS NULL),
+          |s2 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r1 r ON r.ent = e.src GROUP BY e.dst),
+          |r2 AS (SELECT nodes.ent, (SELECT tele FROM c)
+          |         + (85 * (coalesce(s2.s, 0) + (SELECT dshare FROM ds2))) // 100 AS rank
+          |       FROM nodes LEFT JOIN s2 USING (ent)),
+          |ds3 AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM c) AS dshare
+          |        FROM r2 LEFT JOIN d ON r2.ent = d.src WHERE d.src IS NULL),
+          |s3 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst),
+          |r3 AS (SELECT nodes.ent, (SELECT tele FROM c)
+          |         + (85 * (coalesce(s3.s, 0) + (SELECT dshare FROM ds3))) // 100 AS rank
+          |       FROM nodes LEFT JOIN s3 USING (ent))
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
       "kg_entity_sim" ->
         ("""WITH m AS (
@@ -1107,6 +1239,41 @@ object SparkEntry {
           |       list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) / (a.nrm*b.nrm) AS cosine
           |FROM n a JOIN n b ON a.vec_id < b.vec_id
           |WHERE list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))]) / (a.nrm*b.nrm) >= 0.99""".stripMargin,
+      // IVF top-k re-derived end-to-end from the dumped centroid model
+      // ({AUX}/ivf_centroids): assignment of every corpus vector (argmin of
+      // the sequential-fold squared L2 — ties to the lowest cell, exactly
+      // nearestCell's strict-less scan), each query's nprobe=2 cells (same
+      // ordering — nearestCells' (d2, cell) sort), then exact cosine + rank
+      // within the probed cells. Direct rows+schema+hash gate; quality vs
+      // brute force is ann_ivf_recall's separate gate.
+      "ann_ivf_topk" ->
+        """WITH cent AS (SELECT cell, c FROM read_parquet('{AUX}/ivf_centroids/*.parquet')),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+          |dist AS (SELECT vec_id, cell,
+          |           list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in generate_series(1, len(v))]) AS d2
+          |         FROM n, cent),
+          |assign AS (SELECT vec_id, cell FROM (
+          |             SELECT vec_id, cell,
+          |               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          |             FROM dist) WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+          |qd AS (SELECT qid, cell,
+          |         list_sum([(qv[i]-c[i])*(qv[i]-c[i]) for i in generate_series(1, len(qv))]) AS d2
+          |       FROM q, cent),
+          |probes AS (SELECT qid, cell FROM (
+          |             SELECT qid, cell,
+          |               row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+          |             FROM qd) WHERE rn <= 2),
+          |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cell)),
+          |scored AS (SELECT cand.qid, cand.vec_id,
+          |             list_sum([q.qv[i]*n.v[i] for i in generate_series(1, len(n.v))]) / (q.qn*n.nrm) AS cosine
+          |           FROM cand JOIN q ON cand.qid = q.qid JOIN n ON cand.vec_id = n.vec_id
+          |           WHERE cand.vec_id <> cand.qid),
+          |r AS (SELECT qid, vec_id, cosine,
+          |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          |      FROM scored)
+          |SELECT qid, vec_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
@@ -1264,6 +1431,8 @@ object SparkEntry {
       "kg_triples" ->
         "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
       "kg_triples_compacted" ->
+        "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
+      "kg_triples_compacted_inc" ->
         "SELECT * FROM read_parquet('{ORA}/kg_triples/*.parquet')",
       "kg_decision_stats" ->
         "SELECT * FROM read_parquet('{ORA}/kg_decision_stats/*.parquet')",

@@ -38,6 +38,11 @@ object Verify {
     val outAbs = Paths.get(outDir).toAbsolutePath.toString.stripSuffix("/")
     val oraAbs = outAbs + "_oracle"
     dumpGoldenOracle(spark, sfDir, oraAbs)
+    // engine-derived model artifacts (IVF centroids) for {AUX} twins — a
+    // third sibling dir so neither the driver's per-query scan of outDir
+    // nor the golden dir's "pure reference math" contract is muddied
+    val auxAbs = outAbs + "_aux"
+    SparkEntry.dumpAux(spark, sfDir, auxAbs)
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -53,7 +58,7 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("{OUT}", outAbs).replace("{ORA}", oraAbs))}"
+        s"${q(k)}: ${q(v.replace("{OUT}", outAbs).replace("{ORA}", oraAbs).replace("{AUX}", auxAbs))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4,12 +4,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.GraphOps
 
-/** Scale evidence for the iterative graph layer (pageRankFp): a
-  * deterministic synthetic scale-free-ish graph far larger than any
-  * co-mention graph the sf fixtures produce, timed per iteration, plus the
-  * operator's determinism claim checked the hard way — ranks at local[k]
-  * must be BIT-EQUAL to ranks at local[1]-equivalent partitioning (fixed-
-  * point arithmetic makes that exact, not approximate).
+/** Scale evidence for the iterative + analytic graph layer: a deterministic
+  * synthetic scale-free-ish graph far larger than any co-mention graph the
+  * sf fixtures produce, with
+  *
+  *  - pageRankFp: per-iteration wall + the determinism claim checked the
+  *    hard way — ranks under a hostile repartitioning must be BIT-EQUAL
+  *    (fixed-point arithmetic makes that exact, not approximate);
+  *  - pageRankDirected: the dangling-mass general form on a directed
+  *    variant with ~10% pure sinks — wall + exact mass conservation
+  *    (total == scale minus bounded truncation loss);
+  *  - triangleCounts: wall at >=10M undirected edges, the wedge-join row
+  *    count the arboricity bound predicts (Σ_src C(outdeg, 2), from the
+  *    same orientEdges invariant the operator uses), and a SAMPLED REFEREE:
+  *    for 200 hash-chosen nodes of degree <= 64, per-node triangle counts
+  *    recomputed independently (driver-side neighbor pairs, closure checked
+  *    by one semi-join) must match exactly. The degree cap keeps the
+  *    referee itself non-quadratic; hub correctness is separately pinned by
+  *    the sf0.1 DuckDB twin and the orientation-independence spec.
+  *  - neighborSimilarity: wall at the same scale with the maxDegree hub cap
+  *    (the web-scale configuration), and a sampled referee — up to 100
+  *    output pairs re-verified driver-side from collected capped neighbor
+  *    sets (same long-division spelling, so equality is exact).
   *
   * Graph: `nEdges` undirected edges over `nNodes` nodes; endpoint draws
   * come from xxhash64 so the edge list is reproducible anywhere. The dst
@@ -18,7 +34,7 @@ import graft.operators.GraphOps
   * the shape real entity graphs have and the shape that stresses the
   * contribution aggregate's hot keys.
   *
-  * args: [cores] [nNodes] [nEdges] [iters]
+  * args: [cores] [nNodes] [nEdges] [iters] [simTau]
   */
 object GraphBench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +42,7 @@ object GraphBench {
     val nNodes = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val nEdges = args.lift(2).map(_.toLong).getOrElse(10000000L)
     val iters = args.lift(3).map(_.toInt).getOrElse(5)
+    val simTau = args.lift(4).map(_.toDouble).getOrElse(0.5)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -34,15 +51,18 @@ object GraphBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def edges(parts: Int): DataFrame = {
-      // und(i) = (a_i, b_i): a uniform, b skewed to low ids by drawing
-      // modulo a hash-chosen power-of-two window (deterministic hubs)
-      val e = spark.range(0, nEdges, 1, parts)
+    def rawPairs(parts: Int): DataFrame =
+      // (a_i, b_i): a uniform, b skewed to low ids by drawing modulo a
+      // hash-chosen power-of-two window (deterministic hubs)
+      spark.range(0, nEdges, 1, parts)
         .withColumn("a", pmod(xxhash64(col("id"), lit(1)), lit(nNodes)))
         .withColumn("w", pow(lit(2.0), (pmod(xxhash64(col("id"), lit(2)), lit(20)) + 1).cast("double")).cast("long"))
         .withColumn("b", pmod(xxhash64(col("id"), lit(3)), least(lit(nNodes), col("w"))))
         .filter(col("a") =!= col("b"))
         .select(col("a"), col("b"))
+
+    def edges(parts: Int): DataFrame = {
+      val e = rawPairs(parts)
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
         .distinct()
@@ -53,7 +73,7 @@ object GraphBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val e = edges(cores.toInt)
+    val e = edges(cores.toInt).persist()
     val (nE, tBuild) = time(e.count())
 
     if (sys.env.contains("GRAFT_EXPLAIN")) {
@@ -79,7 +99,108 @@ object GraphBench {
         .filter(col("rank_fp") =!= col("r2")).count()
     }
 
-    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f}""")
+    // ---- DIRECTED PageRank with dangling mass: drop every out-edge of
+    // nodes with id % 10 == 0 — they keep their in-edges and become pure
+    // sinks (~10% of nodes), the exact shape pageRankFp's symmetric
+    // contract rejects. Mass must still land at scale minus truncation.
+    val directed = e.filter(pmod(col("src"), lit(10L)) =!= 0L).persist()
+    val (nDirE, _) = time(directed.count())
+    val ((dirNodes, dirMass), tDir) = time {
+      val r = GraphOps.pageRankDirected(directed, iters).persist()
+      val n = r.count()
+      val m = r.agg(sum("rank_fp")).head.getLong(0)
+      r.unpersist(false)
+      (n, m)
+    }
+    directed.unpersist(false)
+
+    // ---- triangles at scale: canonical a<b edge list from the same graph
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).persist()
+    val nUnd = und.count()
+    // the wedge-join row count the arboricity bound predicts (and the
+    // operator actually enumerates): Σ_src C(outdeg, 2) over the
+    // degree-ordered orientation
+    val wedgesPredicted = GraphOps.orientEdges(und)
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+    val (tri, tTri) = time {
+      val t = GraphOps.triangleCounts(und).persist()
+      t.count(); t
+    }
+    val triTotal = tri.agg(sum("n_triangles")).head.getLong(0) / 3
+
+    // sampled referee: 200 hash-chosen nodes of degree <= 64, counts
+    // recomputed independently (neighbor pairs on the driver, closure via
+    // one join) — cap reported, not silent; hub correctness is pinned by
+    // the sf0.1 exact twin + the orientation-independence spec
+    val refCap = 64L
+    val (refMismatches, nRef) = {
+      import spark.implicits._
+      val deg = und.select(col("a").as("ent")).unionByName(und.select(col("b").as("ent")))
+        .groupBy("ent").agg(count(lit(1)).as("deg"))
+      val sample = deg.filter(col("deg") <= refCap)
+        .orderBy(xxhash64(col("ent")), col("ent")).limit(200)
+        .select("ent").as[Long].collect().toSet
+      val sampleB = spark.sparkContext.broadcast(sample)
+      val nbrs = und.filter(col("a").isin(sample.toSeq: _*) || col("b").isin(sample.toSeq: _*))
+        .flatMap { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          Seq(a -> b, b -> a).filter { case (v, _) => sampleB.value(v) }
+        }.collect().groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val candPairs = nbrs.toSeq.flatMap { case (v, ns) =>
+        val s = ns.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) yield (v, s(i), s(j))
+      }
+      val closed = candPairs.toDF("v", "x", "y")
+        .join(und, col("x") === col("a") && col("y") === col("b"), "left_semi")
+        .groupBy("v").agg(count(lit(1)).as("n_ref"))
+        .as[(Long, Long)].collect().toMap
+      val engine = tri.filter(col("ent").isin(sample.toSeq: _*))
+        .as[(Long, Long)].collect().toMap
+      val bad = sample.count(v =>
+        engine.getOrElse(v, 0L) != closed.getOrElse(v, 0L))
+      (bad, sample.size)
+    }
+    tri.unpersist(false)
+
+    // ---- neighborhood similarity at scale, hub-capped (the web-scale
+    // configuration; the cap is the operator's named approximation)
+    val simCap = 64L
+    val (sim, tSim) = time {
+      val s = GraphOps.neighborSimilarity(und, simTau, maxDegree = Some(simCap)).persist()
+      s.count(); s
+    }
+    val nSim = sim.count()
+    // sampled referee: up to 100 output pairs re-verified from collected
+    // capped neighbor sets (identical long-division spelling => exact)
+    val simMismatches = {
+      import spark.implicits._
+      val pairs = sim.orderBy("entity_a", "entity_b").limit(100)
+        .select("entity_a", "entity_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      if (pairs.isEmpty) 0L
+      else {
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+        val nbrs0 = und.select(col("a").as("ent"), col("b").as("nbr"))
+          .unionByName(und.select(col("b").as("ent"), col("a").as("nbr")))
+        val degAll = nbrs0.groupBy("nbr").agg(count(lit(1)).as("df"))
+        val capped = nbrs0.join(degAll.filter(col("df") <= simCap), "nbr")
+          .filter(col("ent").isin(ids.toSeq: _*))
+          .select("ent", "nbr").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        pairs.count { case (a, b, j) =>
+          val (na, nb) = (capped.getOrElse(a, Set.empty), capped.getOrElse(b, Set.empty))
+          val inter = na.intersect(nb).size.toLong
+          val expect = inter.toDouble / (na.size.toLong + nb.size.toLong - inter)
+          expect != j
+        }.toLong
+      }
+    }
+    sim.unpersist(false)
+    und.unpersist(false)
+
+    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches}""")
     spark.stop()
   }
 }

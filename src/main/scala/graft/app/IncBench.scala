@@ -129,7 +129,42 @@ object IncBench {
     val nFull = fullPairs.count()
     val nInc = incPairs.count()
 
-    println(f"""{"set_rows":$nSets,"old_rows":$nOldRows,"new_rows":$nNewRows,"batch_pct":$batchPct,"full_sec":$tFull%.2f,"index_sec":$tIndex%.2f,"incr_sec":$tInc%.2f,"speedup_vs_full":${tFull / tInc}%.2f,"full_shuffle_mb":${bFull / 1e6}%.1f,"incr_shuffle_mb":${bInc / 1e6}%.1f,"shuffle_ratio":${bFull.toDouble / math.max(1L, bInc)}%.1f,"full_pairs":$nFull,"incr_pairs":$nInc,"consistency_missing":$missing,"consistency_extra":$extra}""")
+    // STREAMED: the foreachBatch composition (StreamingDedup.processBatch):
+    // batch 0 bootstraps the index from the kept corpus; batch 1 is the
+    // recurring per-drop cost measured END-TO-END — index read, candidate
+    // bucket join, verify, pairs write, AND the batch's own index append
+    // (the stream's honest recurring wall, unlike incr_sec which excludes
+    // the append). df caps are per-batch in the stream (StreamingDedup
+    // class doc), so its consistency twin is incrementalLsh over UNCAPPED
+    // sets — same split, maxDf = ∞ on both sides.
+    val idxStream = "/tmp/graft_incbench_stream_index"
+    val outStream = "/tmp/graft_incbench_stream_pairs"
+    Seq(idxStream, outStream).foreach(p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true))
+    val oldDocs = boiler.filter(isOld)
+    val newDocs = boiler.filter(!isOld)
+    val (_, tBoot) = time(graft.streaming.StreamingDedup.processBatch(
+      oldDocs, 0L, 0.6, 64, 16, 3, Long.MaxValue, idxStream, outStream))
+    val ((_, tStream), bStream) = shuffled(time(
+      graft.streaming.StreamingDedup.processBatch(
+        newDocs, 1L, 0.6, 64, 16, 3, Long.MaxValue, idxStream, outStream)))
+    val streamedPairs = spark.read.parquet(s"$outStream/batch_id=1")
+      .select("doc_a", "doc_b")
+    val setsU = Dedup.shingleSets(boiler, 3, Long.MaxValue).persist()
+    val refCached = scala.collection.mutable.Buffer[DataFrame]()
+    val refPairs = Dedup.incrementalLsh(
+        setsU.filter(isOld), setsU.filter(!isOld), 0.6,
+        onCache = refCached += _)
+      .select("doc_a", "doc_b").persist()
+    val sMissing = refPairs.except(streamedPairs).count()
+    val sExtra = streamedPairs.except(refPairs).count()
+    val nStreamed = streamedPairs.count()
+    refCached.foreach(_.unpersist(false))
+    refPairs.unpersist(false)
+    setsU.unpersist(false)
+
+    println(f"""{"set_rows":$nSets,"old_rows":$nOldRows,"new_rows":$nNewRows,"batch_pct":$batchPct,"full_sec":$tFull%.2f,"index_sec":$tIndex%.2f,"incr_sec":$tInc%.2f,"speedup_vs_full":${tFull / tInc}%.2f,"full_shuffle_mb":${bFull / 1e6}%.1f,"incr_shuffle_mb":${bInc / 1e6}%.1f,"shuffle_ratio":${bFull.toDouble / math.max(1L, bInc)}%.1f,"full_pairs":$nFull,"incr_pairs":$nInc,"consistency_missing":$missing,"consistency_extra":$extra,"stream_bootstrap_sec":$tBoot%.2f,"stream_incr_sec":$tStream%.2f,"stream_incr_shuffle_mb":${bStream / 1e6}%.1f,"stream_pairs":$nStreamed,"stream_missing":$sMissing,"stream_extra":$sExtra}""")
     spark.stop()
   }
 }

@@ -329,7 +329,11 @@ object Synth {
         (i.toLong, "zh", sb.toString)
       }
     }
-    val dups = base.filter(_._1 % 10 == 0).map { case (id, lang, t) =>
+    // clone strides 0 and 4 mod 10: stride 0 hits only zh docs (en docs
+    // live at i % 5 == 4, i.e. ids 4/9 mod 10), so stride 4 exists to plant
+    // LATIN near-dup pairs too — without it the en-clone branch below was
+    // dead code and the fixture never exercised Latin near-dups
+    val dups = base.filter(d => d._1 % 10 == 0 || d._1 % 10 == 4).map { case (id, lang, t) =>
       (id + 100000L, lang, t + (if (lang == "zh") "另见记录" else " extra note"))
     }
     base ++ dups

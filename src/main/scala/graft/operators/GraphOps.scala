@@ -73,9 +73,20 @@ object GraphOps {
     * role hot shingles do there — at web scale, cap or df-filter them
     * exactly as `shingleSets(maxDf)` does (a neighbor shared by k entities
     * contributes k² blocked pairs). */
-  def neighborSimilarity(und: DataFrame, tau: Double): DataFrame = {
-    val nbrs = und.select(col("a").as("doc_id"), col("b").as("shingle"))
+  def neighborSimilarity(und: DataFrame, tau: Double,
+                         maxDegree: Option[Long] = None): DataFrame = {
+    val nbrs0 = und.select(col("a").as("doc_id"), col("b").as("shingle"))
       .unionByName(und.select(col("b").as("doc_id"), col("a").as("shingle")))
+    // the hub cap (opt-in, for web-scale graphs): a neighbor appearing in k
+    // entities' sets contributes k² blocked pairs, so neighbors above
+    // maxDegree are dropped FROM THE SETS — the identical df-cap semantics
+    // (and window spelling) as Dedup.shingleSets(maxDf); an approximation
+    // the caller names, reported sizes stay exact over the capped sets
+    val nbrs = maxDegree.map { m =>
+      nbrs0.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        .filter(col("df") <= m).drop("df")
+    }.getOrElse(nbrs0)
     Dedup.jaccardPairs(nbrs, tau)
       .select(col("doc_a").as("entity_a"), col("doc_b").as("entity_b"), col("jaccard"))
   }
@@ -94,7 +105,13 @@ object GraphOps {
     * that closes at least one triangle; the set of triangles (and so every
     * count) is independent of the orientation, which is why the DuckDB
     * twin can use plain id-ordered a<b<c enumeration. */
-  def triangleCounts(und: DataFrame): DataFrame = {
+  /** Degree-ordered orientation of an undirected (a < b) edge list:
+    * (src, dst, deg_dst) with src the lower-(deg, id) endpoint — the
+    * invariant that bounds per-node out-degree by O(sqrt(edges)) and so
+    * wedge enumeration by arboricity. Exposed so scale harnesses can
+    * account the wedge-join row count the bound predicts
+    * (Σ_src C(outdeg(src), 2)) against the measured wall. */
+  def orientEdges(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("ent"))
       .unionByName(und.select(col("b").as("ent")))
       .groupBy("ent").agg(count(lit(1)).as("deg"))
@@ -105,10 +122,14 @@ object GraphOps {
       .join(deg.select(col("ent").as("b"), col("deg").as("deg_b")), "b")
     val aLower = (col("deg_a") < col("deg_b")) ||
       (col("deg_a") === col("deg_b") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    withDeg.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"),
       when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+  }
+
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val oriented = orientEdges(und)
     val e1 = oriented.select(col("src"), col("dst").as("v"), col("deg_dst").as("dv"))
     val e2 = oriented.select(col("src"), col("dst").as("w"), col("deg_dst").as("dw"))
     val wedges = e1.join(e2, "src")
@@ -152,6 +173,7 @@ object GraphOps {
   def pageRankFp(edges: DataFrame, iterations: Int,
                  scale: Long = 1000000000000L,
                  checkpointEvery: Int = 4): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.count()
@@ -161,26 +183,121 @@ object GraphOps {
     // the LOOP INVARIANT, built once: (src, dst, deg) pre-partitioned on
     // src and checkpointed. Every iteration joins it with the node-sized
     // rank frame on src — the edge side never moves again (its
-    // hashpartitioning survives the checkpoint), so each round costs ONE
-    // exchange: the dst-keyed contribution aggregate, which IS PageRank's
-    // irreducible shuffle. Joining deg inside the loop instead re-shuffled
-    // the full edge list twice per round (measured 2.2x slower at 19M
-    // edges).
+    // hashpartitioning survives the checkpoint), so each round costs one
+    // EDGE-SCALE exchange: the dst-keyed contribution aggregate, which IS
+    // PageRank's irreducible shuffle (the rank frame does reshuffle to src
+    // partitioning inside the loop join, but that exchange is node-sized).
+    // Joining deg inside the loop instead re-shuffled the full edge list
+    // twice per round (measured 2.2x slower at 19M edges).
     val eDeg = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
     var ranks = deg.select(col("src").as("ent"), lit(r0).as("rank"))
+    // in-loop checkpoint generations: each new eager checkpoint severs the
+    // lineage reaching the previous one, so the superseded generation's
+    // MEMORY_AND_DISK blocks are freed IN-LOOP (DataFrame.unpersist is a
+    // no-op on checkpointed frames — same discipline as
+    // ConnectedComponents.runDistributed; long-lived drivers cycling
+    // kg_pagerank must not wait for RDD GC)
+    var liveCp: List[DataFrame] = Nil
     for (i <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("ent", "src"), "src")
         .select(col("dst").as("ent"), expr("rank div deg").as("c"))
       ranks = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
         .select(col("ent"), (lit(tele) + expr("(85 * s) div 100")).as("rank"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
+        liveCp.foreach(releaseResult)
+        liveCp = List(ranks)
+      }
     }
-    ranks.select(col("ent"), col("rank").as("rank_fp"))
+    // sever the result's lineage (node-sized copy) so eDeg and the last
+    // in-loop generation can be freed NOW rather than leak until RDD GC
+    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
+      .localCheckpoint(true)
+    liveCp.foreach(releaseResult)
+    releaseResult(eDeg)
+    out
+  }
+
+  /** PageRank over a DIRECTED edge list with dangling-node mass — the
+    * general form `pageRankFp`'s symmetric contract cannot serve: real
+    * link / mention graphs are directed with sinks (no out-edges, their
+    * rank mass must be redistributed) and sources (no in-edges, they must
+    * survive the per-iteration aggregate). Same int64 fixed-point spelling,
+    * so the result is bit-exact on any engine / partitioning / addition
+    * order:
+    *
+    *   r0(v)    = scale div N
+    *   tele     = (15 * (scale div N)) div 100
+    *   dshare_k = (Σ_{u dangling} r_k(u)) div N
+    *   r_k+1(v) = tele + (85 * (Σ_{u→v} (r_k(u) div deg(u)) + dshare_k)) div 100
+    *
+    * The dangling sum is a node-scale aggregate collected per iteration
+    * (one long to the driver — the standard dangling-mass treatment, exact
+    * in integer arithmetic; overflow headroom: total mass ≈ scale, so the
+    * 85× term stays below 1e14 « 2^63). Source nodes survive via the left
+    * join with the node frame (contribution coalesced to 0). On a
+    * symmetric edge list the dangling set is empty, dshare is 0, and the
+    * ranks equal `pageRankFp`'s bit-for-bit.
+    *
+    * Cost per iteration: the edge-scale contribution aggregate (PageRank's
+    * irreducible shuffle) plus node-scale work (rank-frame join, dangling
+    * filter, node left join). The (src, dst, deg) invariant and the
+    * ent-partitioned node frame are built and checkpointed ONCE; each
+    * iteration's node-sized rank frame is eagerly checkpointed (it is read
+    * twice — dangling sum, then next round) and the superseded generation's
+    * blocks are freed in-loop. */
+  def pageRankDirected(edges: DataFrame, iterations: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // node frame with its has-out-edges flag, pre-partitioned on ent and
+    // checkpointed once: every iteration's left join and dangling filter
+    // reuse it (and its partitioning) without recomputing the distinct
+    val nodes = e.select(col("src").as("ent"))
+      .unionByName(e.select(col("dst").as("ent"))).distinct()
+      .join(deg.withColumnRenamed("src", "ent"), Seq("ent"), "left")
+      .select(col("ent"), col("deg").isNotNull.as("has_out"))
+      .repartition(col("ent")).sortWithinPartitions("ent")
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRankDirected: empty edge list")
+    val r0 = scale / n
+    val tele = (15L * r0) / 100L
+    val eDeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("ent"), col("has_out"), lit(r0).as("rank"))
+      .localCheckpoint(true)
+    var prevCp: DataFrame = ranks
+    for (_ <- 1 to iterations) {
+      val dSum = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("d")).head.getLong(0)
+      val dShare = dSum / n
+      val contribs = eDeg
+        .join(ranks.select(col("ent").as("src"), col("rank")), "src")
+        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
+      val sums = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
+      val next = nodes.join(sums, Seq("ent"), "left")
+        .withColumn("in_mass", coalesce(col("s"), lit(0L)) + lit(dShare))
+        .select(col("ent"), col("has_out"),
+          (lit(tele) + expr("(85 * in_mass) div 100")).as("rank"))
+        .localCheckpoint(true)
+      releaseResult(prevCp)
+      prevCp = next
+      ranks = next
+    }
+    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
+      .localCheckpoint(true)
+    releaseResult(prevCp)
+    releaseResult(eDeg)
+    releaseResult(nodes)
+    out
   }
 }

@@ -50,7 +50,22 @@ object Timeseries {
     * `asof_<name>` (with `asof_ts` the matched row's timestamp).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+               tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, keepUnmatched = false)
+
+  /** LEFT as-of join: same point-in-time semantics, but left rows with no
+    * prior right row are KEPT with null `asof_*` columns (DuckDB
+    * `ASOF LEFT JOIN`) — the enrichment spelling where losing unmatched
+    * facts is wrong (e.g. clicks before the user's first view). Identical
+    * plan to `asofJoin` minus the match-is-not-null filter: still one key
+    * exchange + one sort. */
+  def asofJoinLeft(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, keepUnmatched = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, payloadCols: Seq[String],
+                       keepUnmatched: Boolean): DataFrame = {
     val payNames = tsCol +: payloadCols
     val rightPrep = right.select(
       col(keyCol).as("_k"), col(tsCol).as("_t"), lit(0).as("_tag"),
@@ -67,9 +82,12 @@ object Timeseries {
     val w = Window.partitionBy("_k")
       .orderBy(col("_t"), col("_tag"), col("_pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep =
+      if (keepUnmatched) col("_tag") === 1
+      else col("_tag") === 1 && col("_match").isNotNull
     val matched = leftPrep.unionByName(rightAligned)
       .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1 && col("_match").isNotNull)
+      .filter(keep)
     val outCols =
       leftCols.map(c => col(s"_row.$c").as(c)) ++
         payNames.map(c => col(s"_match.$c").as(s"asof_$c"))

@@ -87,10 +87,14 @@ object TripleEmitter {
     * metadata (driver-side directory listing — the same metadata any
     * compactor reads), rows get a subj-hash bucket in [0, files(pred)),
     * and ONE repartitionByRange on (pred, bucket) lays the data out so
-    * each task holds one bucket of one pred — file counts come out exact,
-    * no per-pred driver loop, no second shuffle. Writes to `outPath`
-    * (compact-then-swap is the caller's move; an in-place rewrite that
-    * fails mid-write would lose the store).
+    * each task holds approximately one bucket of one pred — no per-pred
+    * driver loop, no second shuffle. File counts come out APPROXIMATELY
+    * on-target: range boundaries are sample-based, so a heavily skewed
+    * store can merge two adjacent (pred, bucket) keys into one task
+    * (fewer, larger files — never data loss; CompactionStats records the
+    * actual counts). Writes to `outPath` (compact-then-swap is the
+    * caller's move; an in-place rewrite that fails mid-write would lose
+    * the store).
     *
     * Content is PRESERVED row-for-row — the driver gate reads the
     * compacted store against the same golden-oracle twin as the live
@@ -100,31 +104,148 @@ object TripleEmitter {
               targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partStats(root: org.apache.hadoop.fs.Path): Map[String, (Long, Long)] =
-      fs.listStatus(root).filter(_.isDirectory).map { d =>
-        val files = fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        d.getPath.getName -> ((files.length.toLong, files.map(_.getLen).sum))
-      }.toMap
-    val before = partStats(hadoopPath)
-    // partition dir names are URL-encoded (pred=attr%3Acategory); the
-    // DataFrame's pred column carries the DECODED value, so the bucket-count
-    // map must be keyed by decoded names
+    val before = partStats(fs, hadoopPath)
     val filesFor: Map[String, Int] = before.map { case (dir, (_, bytes)) =>
-      val pred = java.net.URLDecoder.decode(dir.stripPrefix("pred="), "UTF-8")
+      val pred = unescapePathName(dir.stripPrefix("pred="))
       pred -> math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     }
+    rewritePacked(spark, spark.read.parquet(path), filesFor, outPath)
+    val after = partStats(fs, new org.apache.hadoop.fs.Path(outPath))
+    CompactionStats(
+      before.values.map(_._1).sum, before.values.map(_._2).sum,
+      after.values.map(_._1).sum, after.values.map(_._2).sum)
+  }
+
+  /** Per-pred (files, bytes) from one FS directory listing — the metadata
+    * any compactor reads. Keys are the RAW partition dir names
+    * (`pred=<escaped>`). */
+  private def partStats(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path): Map[String, (Long, Long)] =
+    fs.listStatus(root).filter(_.isDirectory).map { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      d.getPath.getName -> ((files.length.toLong, files.map(_.getLen).sum))
+    }.toMap
+
+  /** Per-pred parquet file counts, keyed by DECODED pred value — callers
+    * use this to pick an incremental-compaction threshold. */
+  def partitionFileCounts(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partStats(fs, root).map { case (dir, (files, _)) =>
+      unescapePathName(dir.stripPrefix("pred=")) -> files
+    }
+  }
+
+  /** Decode %XX sequences ONLY (the semantics of Spark's
+    * ExternalCatalogUtils.unescapePathName): partition dir names are
+    * Hive-path-escaped (pred=attr%3Acategory) while the DataFrame's pred
+    * column carries the DECODED value. A full URLDecoder also maps '+' to
+    * space, and Hive escaping never encodes '+', so a pred containing a
+    * literal '+' would get a wrong map key, element_at would return null,
+    * and those rows would silently pack into a null bucket. */
+  private[pipeline] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) + lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The shared bin-pack rewrite: subj-hash bucket in [0, files(pred)),
+    * ONE repartitionByRange on (pred, bucket), subj-sorted files. */
+  private def rewritePacked(spark: org.apache.spark.sql.SparkSession,
+                            rows: DataFrame, filesFor: Map[String, Int],
+                            outPath: String): Unit = {
     val totalFiles = filesFor.values.map(_.toLong).sum.toInt
     val filesMap = typedLit(filesFor)
-    spark.read.parquet(path)
+    rows
       .withColumn("_b", pmod(hash(col("subj")), element_at(filesMap, col("pred"))))
       .repartitionByRange(totalFiles, col("pred"), col("_b"))
       .sortWithinPartitions("pred", "subj", "obj")
       .drop("_b")
       .write.mode("overwrite").partitionBy("pred").parquet(outPath)
-    val after = partStats(new org.apache.hadoop.fs.Path(outPath))
-    CompactionStats(
-      before.values.map(_._1).sum, before.values.map(_._2).sum,
-      after.values.map(_._1).sum, after.values.map(_._2).sum)
+  }
+
+  case class IncCompactionStats(predsCompacted: Seq[String],
+                                predsUntouched: Seq[String],
+                                filesBefore: Long, filesAfter: Long,
+                                untouchedPreserved: Boolean)
+
+  /** INCREMENTAL compaction — the form the 100 TB maintenance job actually
+    * runs: a live store accretes small files unevenly (hot preds from every
+    * micro-batch, cold preds rarely), and rewriting the whole store per
+    * maintenance cycle (compact) re-pays the full store's IO for mostly
+    * already-compact partitions. This variant compacts ONLY partitions
+    * whose file count exceeds `maxFilesPerPred`, in place, via
+    * compact-then-swap:
+    *
+    *   1. FS listing picks the hot preds (files > threshold);
+    *   2. one partition-PRUNED scan (filter on the partition column — cold
+    *      dirs are never opened) bin-packs the hot rows into a staging dir
+    *      (same bucket/range/sort layout as `compact`);
+    *   3. the SWAP: per hot pred, delete the live partition dir and rename
+    *      the staged one in — the per-partition manifest move a table
+    *      format (Iceberg replace-partitions) does transactionally; renames
+    *      are metadata-only on any real FS.
+    *
+    * A crash between 3's delete and rename loses at most the partitions
+    * being swapped and is recoverable from the staging dir (which is only
+    * removed after every rename lands) — the documented non-transactional
+    * residue of running without a table format. Untouched partitions are
+    * never listed for read, never rewritten, never renamed;
+    * `untouchedPreserved` verifies their exact file identity
+    * (name, length, mtime) survived, and the driver gate reads the mixed
+    * store against the same golden twin as the live sink. */
+  def compactIncremental(spark: org.apache.spark.sql.SparkSession,
+                         path: String, maxFilesPerPred: Long,
+                         targetBytes: Long = 128L * 1024 * 1024): IncCompactionStats = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = partStats(fs, root)
+    val hotDirs = before.filter(_._2._1 > maxFilesPerPred).keySet
+    val coldDirs = before.keySet -- hotDirs
+    def fileIdent(dir: String): Set[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, dir)).filter(_.isFile)
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    val coldBefore = coldDirs.map(d => d -> fileIdent(d)).toMap
+    def decoded(dirs: Iterable[String]): Seq[String] =
+      dirs.map(d => unescapePathName(d.stripPrefix("pred="))).toSeq.sorted
+    if (hotDirs.isEmpty)
+      return IncCompactionStats(Nil, decoded(coldDirs),
+        before.values.map(_._1).sum, before.values.map(_._1).sum, untouchedPreserved = true)
+
+    val filesFor: Map[String, Int] = hotDirs.map { dir =>
+      val bytes = before(dir)._2
+      unescapePathName(dir.stripPrefix("pred=")) ->
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    }.toMap
+    val staging = new org.apache.hadoop.fs.Path(path + "_compact_staging")
+    fs.delete(staging, true)
+    val hotRows = spark.read.parquet(path)
+      .filter(col("pred").isin(filesFor.keys.toSeq: _*))
+    rewritePacked(spark, hotRows, filesFor, staging.toString)
+    hotDirs.foreach { dir =>
+      val live = new org.apache.hadoop.fs.Path(root, dir)
+      val staged = new org.apache.hadoop.fs.Path(staging, dir)
+      if (!fs.exists(staged))
+        throw new IllegalStateException(s"compactIncremental: staged partition missing: $staged")
+      fs.delete(live, true)
+      if (!fs.rename(staged, live))
+        throw new IllegalStateException(s"compactIncremental: swap rename failed for $dir")
+    }
+    fs.delete(staging, true)
+    val after = partStats(fs, root)
+    val preserved = coldDirs.forall(d => fileIdent(d) == coldBefore(d))
+    IncCompactionStats(decoded(hotDirs), decoded(coldDirs),
+      before.values.map(_._1).sum, after.values.map(_._1).sum, preserved)
   }
 }

@@ -382,15 +382,20 @@ class OperatorsSpec extends AnyFunSuite {
     val zh = graft.fixtures.Synth.zhDocuments(80).toDF("doc_id", "lang", "text")
     val pairs = Dedup.jaccardPairs(Dedup.shingleSets(zh, 3, 100L, cjk = true), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every planted clone (id + 100000, one-token suffix tweak) is found
-    val planted = (0L until 80L by 10L).map(i => (i, i + 100000L)).toSet
+    // every planted clone (id + 100000, one-token suffix tweak) is found —
+    // both the zh stride (id % 10 == 0) and the Latin stride (id % 10 == 4)
+    val planted = ((0L until 80L by 10L) ++ (4L until 80L by 10L))
+      .map(i => (i, i + 100000L)).toSet
     assert(planted.subsetOf(pairs), s"missing ${planted.diff(pairs)}")
     // whitespace shingling is structurally blind to the zh pairs (each zh
-    // doc is a handful of giant punctuation-delimited tokens)
+    // doc is a handful of giant punctuation-delimited tokens) but sees the
+    // Latin ones — the grain split the fixture exists to demonstrate
     val wsPairs = Dedup.jaccardPairs(Dedup.shingleSets(zh, 3, 100L), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val zhPlanted = planted.filter { case (a, _) => a % 5 != 4 }
+    val enPlanted = planted.diff(zhPlanted)
     assert(zhPlanted.intersect(wsPairs).isEmpty)
+    assert(enPlanted.subsetOf(wsPairs), s"missing ${enPlanted.diff(wsPairs)}")
   }
 
   test("zh quality via CJK grain: zh docs get realistic word stats instead of one giant token") {

@@ -79,6 +79,21 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out(104L)._2 == 13L)
   }
 
+  test("asofJoinLeft keeps unmatched left rows with null asof columns") {
+    val out = Timeseries
+      .asofJoinLeft(leftDf, rightDf, "user_id", "ts", Seq("event_id", "value"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("asof_ts")).map(at =>
+          (at.getTime, r.getAs[Long]("asof_event_id"), r.getAs[Double]("asof_value"))))
+      .toMap
+    // EVERY left row survives; matched rows agree with the inner join's
+    // brute model; the three unmatched rows carry nulls
+    assert(out.keySet == leftRows.map(_._3).toSet)
+    assert(out.collect { case (k, Some(v)) => k -> v }.toMap == bruteAsof)
+    assert(Seq(100L, 200L, 400L).forall(out(_).isEmpty))
+  }
+
   test("asofJoin is deterministic under re-partitioning") {
     val a = Timeseries
       .asofJoin(leftDf.repartition(7), rightDf.repartition(3),
@@ -238,5 +253,87 @@ class TimeseriesSpec extends AnyFunSuite {
     val b = GraphOps.pageRankFp(sym.coalesce(1), 7).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  /** Driver-side mirror of pageRankDirected's integer recurrence: dangling
+    * mass (sinks' summed rank div N) joins every node's 85% term; nodes
+    * with no in-edges still get tele + the dangling share. */
+  def bruteDirected(edges: Seq[(String, String)], iters: Int,
+                    scale: Long): Map[String, Long] = {
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size
+    val tele = (15L * (scale / n)) / 100L
+    var r = nodes.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val dShare = nodes.filterNot(deg.contains).map(r).sum / n
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (tele + (85L * (contrib.getOrElse(v, 0L) + dShare)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankDirected: dangling sinks redistribute, sources survive, matches the brute model") {
+    import spark.implicits._
+    // directed with BOTH failure shapes: c and e are SINKS (no out-edges —
+    // dangling mass), d is a pure SOURCE (no in-edges — must survive every
+    // aggregate); a->b->c chain plus d feeding a and b feeding e
+    val directed = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "e"), ("d", "a"), ("d", "b"))
+    val out = GraphOps.pageRankDirected(directed.toDF("src", "dst"), 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val model = bruteDirected(directed, 5, 1000000000000L)
+    assert(out == model, s"engine=$out\nmodel=$model")
+    // semantics: the source d holds only tele + dangling share; c (fed by
+    // two nodes) outranks it; total mass conserved within truncation loss
+    assert(out("c") > out("d"))
+    val mass = out.values.sum
+    assert(mass <= 1000000000000L && mass > 999000000000L, mass)
+  }
+
+  test("pageRankDirected on a symmetric edge list equals pageRankFp bit-for-bit") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val gen = GraphOps.pageRankDirected(sym, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fp = GraphOps.pageRankFp(sym, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gen == fp && gen.nonEmpty)
+  }
+
+  test("pageRankDirected is bit-identical across parallelism and repartitioning") {
+    import spark.implicits._
+    val directed = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "e"), ("d", "a"), ("d", "b"),
+      ("f", "a"), ("c", "f"))
+    val df = directed.toDF("src", "dst")
+    val a = GraphOps.pageRankDirected(df.repartition(13), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = GraphOps.pageRankDirected(df.coalesce(1), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("neighborSimilarity maxDegree cap drops hub neighbors from the sets") {
+    import spark.implicits._
+    // h is a hub neighbor of a,b,c,d, plus one a-b edge. Capped at
+    // maxDegree=3, h (as a NEIGHBOR, df 4) leaves every set — h's own set
+    // keeps its low-df members: N(a)={b}, N(b)={a}, N(c)=N(d)={},
+    // N(h)={a,b,c,d}. Surviving overlaps: (a,h) share b, (b,h) share a,
+    // each 1/(1+4) = 0.25; the pure-hub pairs like (c,d) (jaccard 1.0
+    // uncapped) are GONE — exactly the k² blowup the cap exists to cut
+    val und = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"), ("a", "b"))
+      .toDF("a", "b")
+    val capped = GraphOps.neighborSimilarity(und, 0.1, maxDegree = Some(3L))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(capped == Map(("a", "h") -> 0.25, ("b", "h") -> 0.25), capped)
+    val uncapped = GraphOps.neighborSimilarity(und, 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // c,d: N={h} identical => jaccard 1.0 — present uncapped, culled capped
+    assert(uncapped.contains(("c", "d")) && uncapped(("c", "d")) == 1.0, uncapped)
   }
 }
