@@ -57,20 +57,61 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+    // r6 lesson: one fatal stage error can poison EVERY later session in
+    // this JVM. Spark handles a DAGScheduler crash with stopInNewThread();
+    // if that thread itself dies before SparkContext.clearActiveContext(),
+    // the stopped context stays REGISTERED, and SparkContext.getOrCreate
+    // (unlike SparkSession's builder) returns the registered context
+    // without checking isStopped — so builder.getOrCreate hands back a
+    // session wrapping the corpse and every call fails with "Cannot call
+    // methods on a stopped SparkContext". Observed once: a single
+    // [INTERNAL_ERROR] at local[8] run 3 killed all 8 remaining scaling
+    // runs (the whole local[32] round → eff_8_32 = -1). The hatch below
+    // detects a stopped-but-registered context and evicts it through the
+    // companion's private[spark] accessors (public at the bytecode level,
+    // so plain reflection reaches them).
+    def clearStoppedContext(): Unit =
+      try {
+        val comp = Class.forName("org.apache.spark.SparkContext$")
+        val module = comp.getField("MODULE$").get(null)
+        val active = comp.getMethod("getActive").invoke(module)
+          .asInstanceOf[Option[org.apache.spark.SparkContext]]
+        if (active.exists(_.isStopped)) {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          comp.getMethod("clearActiveContext").invoke(module)
+          System.err.println("[bench] evicted a stopped-but-registered SparkContext")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] clearStoppedContext: ${e.getMessage}")
+      }
+
     def newSession(cores: String): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .getOrCreate()
+      def build(): SparkSession = {
+        clearStoppedContext()
+        SparkSession.builder()
+          .master(s"local[$cores]")
+          .config("spark.sql.shuffle.partitions", cores)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+          .getOrCreate()
+      }
+      // the async stop may not have flagged the corpse yet when the hatch
+      // looks — rebuild with backoff rather than trusting one draw
+      var s = build()
+      var waits = 0
+      while (s.sparkContext.isStopped && waits < 3) {
+        waits += 1
+        Thread.sleep(1000L * waits)
+        s = build()
+      }
       s.sparkContext.setLogLevel("WARN")
       s
     }
 
-    val spark = newSession(cpus)
+    var spark = newSession(cpus)
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -105,6 +146,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        // fail-soft for the sweep, not just per query: a fatal stage error
+        // stops the context, and without a rebuild every later query would
+        // inherit the corpse. Memos are per-session-keyed, so the fresh
+        // session re-derives cleanly (later timings run colder — honest).
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] session died during $name — rebuilding")
+          spark = newSession(cpus)
+        }
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -65,4 +65,60 @@ class CompactionSpec extends AnyFunSuite {
     assert(files2("pred=mentions") >= 2, files2)
     assert(files2("pred=type") == 1, files2)
   }
+
+  test("compactIncremental: hot preds swapped in place, cold preds byte-untouched, content preserved") {
+    import spark.implicits._
+    val triples = (
+      (1 to 2000).map(i => (s"turn$i", "mentions", s"e${i % 97}")) ++
+      (1 to 200).map(i => (s"e$i", "attr:category", s"c${i % 7}")) ++
+      (1 to 10).map(i => (s"e$i", "type", "disease"))
+    ).toDF("subj", "pred", "obj")
+      .withColumn("props", map().cast("map<string,string>"))
+    val store = "/tmp/graft_test_inccompact_store"
+    triples.repartition(16).write.mode("overwrite").partitionBy("pred").parquet(store)
+    val beforeContent = spark.read.parquet(store).select("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj").count().collect().toSet
+    // dir names are Hive-escaped (pred=attr%3Acategory) while stats carry
+    // DECODED pred values — translate at the boundary
+    def decoded(dir: String) =
+      TripleEmitter.unescapePathName(dir.stripPrefix("pred="))
+    def fileIdent(dir: String) =
+      new java.io.File(s"$store/$dir").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val filesBefore = countFiles(store)
+    // threshold between type's count and mentions' count => mixed store
+    val thr = filesBefore("pred=type").toLong
+    val coldDirs = filesBefore.filter(_._2 <= thr).keySet
+    assert(coldDirs.nonEmpty && coldDirs.size < filesBefore.size)
+    val coldIdentBefore = coldDirs.map(d => d -> fileIdent(d)).toMap
+
+    val stats = TripleEmitter.compactIncremental(spark, store, maxFilesPerPred = thr,
+      targetBytes = 64L * 1024 * 1024)
+
+    // mixed sets as the threshold dictates, reported faithfully
+    assert(stats.predsUntouched.toSet == coldDirs.map(decoded), stats)
+    assert(stats.predsCompacted.nonEmpty &&
+      stats.predsCompacted.toSet ==
+        (filesBefore.keySet -- coldDirs).map(decoded), stats)
+    assert(stats.untouchedPreserved, stats)
+    // cold partitions: exact same files (name, length, mtime) — NOT rewritten
+    coldDirs.foreach(d => assert(fileIdent(d) == coldIdentBefore(d), d))
+    // hot partitions: actually compacted (64MB target => 1 file each)
+    val filesAfter = countFiles(store)
+    (filesBefore.keySet -- coldDirs).foreach { d =>
+      assert(filesAfter.get(d).contains(1), s"$d -> ${filesAfter.get(d)}")
+    }
+    assert(stats.filesAfter < stats.filesBefore, stats)
+    // content preserved row-for-row across the swap
+    val afterContent = spark.read.parquet(store).select("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj").count().collect().toSet
+    assert(afterContent == beforeContent)
+    // staging residue removed
+    assert(!new java.io.File(store + "_compact_staging").exists())
+    // idempotence of the no-op case: nothing left above the threshold
+    val stats2 = TripleEmitter.compactIncremental(spark, store, maxFilesPerPred = thr,
+      targetBytes = 64L * 1024 * 1024)
+    assert(stats2.predsCompacted.isEmpty && stats2.untouchedPreserved)
+  }
 }
