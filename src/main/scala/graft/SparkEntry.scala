@@ -644,6 +644,19 @@ object SparkEntry {
         p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
           .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst"))), 3)
     }),
+    // PERSONALIZED PageRank (3 iterations) from the 3 lexicographically
+    // smallest entities in the co-mention graph — proximity-to-seeds, the
+    // "related to X" read. Same int64 fixed-point arithmetic, so the
+    // SQL-unrolled twin must agree bit-exactly; unreached nodes stay at
+    // rank 0 (the row set is the node set — deterministic).
+    "kg_ppr" -> ((s, dir) => {
+      val p = comentionPairs(s, dir)
+      val edges = p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+        .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+      val seeds = edges.select(col("src").as("ent")).distinct()
+        .orderBy("ent").limit(3)
+      GraphOps.personalizedPageRankFp(edges, seeds, 3)
+    }),
     // DIRECTED PageRank with dangling-node mass over the turn -> entity
     // mention graph — a real directed graph exercising BOTH shapes the
     // symmetric operator cannot serve: every entity is a sink (no
@@ -1038,6 +1051,44 @@ object SparkEntry {
           |r3 AS (SELECT e.dst AS ent,
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
+          |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      // personalized PageRank, 3 iterations unrolled: teleport only to the
+      // 3 smallest entity ids; every op integer => exact. Non-seed nodes
+      // start (and may stay) at 0; the LEFT joins keep the full node set.
+      "kg_ppr" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |e AS (
+          |  SELECT DISTINCT a.ent AS src, b.ent AS dst
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent),
+          |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          |seeds AS (SELECT DISTINCT src AS ent FROM e ORDER BY ent LIMIT 3),
+          |c AS (SELECT 1000000000000 // count(*) AS r0,
+          |             (15 * (1000000000000 // count(*))) // 100 AS tele FROM seeds),
+          |n0 AS (SELECT src AS ent,
+          |         src IN (SELECT ent FROM seeds) AS is_seed FROM d),
+          |r0t AS (SELECT ent,
+          |          CASE WHEN is_seed THEN (SELECT r0 FROM c) ELSE 0 END AS rank
+          |        FROM n0),
+          |s1 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r0t r ON r.ent = e.src GROUP BY e.dst),
+          |r1 AS (SELECT n0.ent,
+          |         (CASE WHEN n0.is_seed THEN (SELECT tele FROM c) ELSE 0 END)
+          |           + (85 * coalesce(s1.s, 0)) // 100 AS rank
+          |       FROM n0 LEFT JOIN s1 USING (ent)),
+          |s2 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r1 r ON r.ent = e.src GROUP BY e.dst),
+          |r2 AS (SELECT n0.ent,
+          |         (CASE WHEN n0.is_seed THEN (SELECT tele FROM c) ELSE 0 END)
+          |           + (85 * coalesce(s2.s, 0)) // 100 AS rank
+          |       FROM n0 LEFT JOIN s2 USING (ent)),
+          |s3 AS (SELECT e.dst AS ent, sum(r.rank // d.deg) AS s
+          |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst),
+          |r3 AS (SELECT n0.ent,
+          |         (CASE WHEN n0.is_seed THEN (SELECT tele FROM c) ELSE 0 END)
+          |           + (85 * coalesce(s3.s, 0)) // 100 AS rank
+          |       FROM n0 LEFT JOIN s3 USING (ent))
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
       // directed PageRank with dangling mass, 3 iterations unrolled: nodes =
       // turns ∪ entities; entities are dangling (their summed rank, divided

@@ -25,7 +25,12 @@ import graft.operators.GraphOps
   *  - neighborSimilarity: wall at the same scale with the maxDegree hub cap
   *    (the web-scale configuration), and a sampled referee — up to 100
   *    output pairs re-verified driver-side from collected capped neighbor
-  *    sets (same long-division spelling, so equality is exact).
+  *    sets (same long-division spelling, so equality is exact);
+  *  - ConnectedComponents.runDistributed: the canonicalization workhorse at
+  *    >=10M edges — wall + rounds-to-convergence, an edge-consistency
+  *    referee (0 edges may cross labels), a root referee (every label must
+  *    label itself), and the bit-exact hostile-repartitioning check (the
+  *    min-label fixpoint is unique).
   *
   * Graph: `nEdges` undirected edges over `nNodes` nodes; endpoint draws
   * come from xxhash64 so the edge list is reproducible anywhere. The dst
@@ -198,9 +203,49 @@ object GraphBench {
       }
     }
     sim.unpersist(false)
+
+    // ---- connected components at scale: the canonicalization workhorse
+    // (dedup clustering / sameAs resolution) on the same graph. The sf0.1
+    // recursive-CTE twin pins exact semantics; here the DISTRIBUTED
+    // min-label loop is measured at >=10M edges and checked three ways:
+    // (1) invariant referee — no edge may cross labels (a violating edge
+    //     would mean a split component),
+    // (2) root referee — every emitted label must label ITSELF (min-label
+    //     propagation converges to the component's min id, which is a root),
+    // (3) determinism — the converged fixpoint (min reachable id per node)
+    //     is unique, so a hostile repartitioning must reproduce every label
+    //     bit-for-bit, exactly like the PageRank check above.
+    import graft.pipeline.ConnectedComponents
+    val ccVerts = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id"))).distinct()
+    val ccEdges = und.select(col("a").as("src"), col("b").as("dst"))
+    var ccRounds = 0
+    val (cc, tCc) = time {
+      val c = ConnectedComponents.runDistributed(
+        ccVerts, ccEdges, maxIter = 50, onRounds = r => ccRounds = r).persist()
+      c.count(); c
+    }
+    val nComponents = cc.select("component").distinct().count()
+    val ccEdgeViolations = und
+      .join(cc.select(col("id").as("a"), col("component").as("ca")), "a")
+      .join(cc.select(col("id").as("b"), col("component").as("cb")), "b")
+      .filter(col("ca") =!= col("cb")).count()
+    val ccNonRootLabels = cc.select(col("component").as("id")).distinct()
+      .join(cc, "id")
+      .filter(col("component") =!= col("id")).count()
+    val (ccMismatches, tCcCheck) = time {
+      val c2 = ConnectedComponents.runDistributed(
+        ccVerts.repartition(7), ccEdges.repartition(5), maxIter = 50)
+      val bad = cc.join(c2.withColumnRenamed("component", "c2"), "id")
+        .filter(col("component") =!= col("c2")).count()
+      ConnectedComponents.releaseResult(c2)
+      bad
+    }
+    ConnectedComponents.releaseResult(cc)
+    cc.unpersist(false)
     und.unpersist(false)
 
-    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches}""")
+    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f}""")
     spark.stop()
   }
 }

@@ -223,6 +223,75 @@ object GraphOps {
     out
   }
 
+  /** PERSONALIZED PageRank in the same int64 fixed-point spelling: teleport
+    * mass flows only to the `seeds` set, so ranks measure proximity TO the
+    * seeds — the "entities related to X" KG read (a global rank says how
+    * central a node is; a personalized rank says how reachable it is from
+    * the query entities). Exact integer recurrence:
+    *
+    *   r0(v)    = scale div |S|  if v ∈ S else 0
+    *   tele(v)  = (15 * (scale div |S|)) div 100  if v ∈ S else 0
+    *   r_k+1(v) = tele(v) + (85 * Σ_{u→v} (r_k(u) div deg(u))) div 100
+    *
+    * With seeds = ALL nodes this is exactly `pageRankFp` (same r0, same
+    * tele on every node, same recurrence) — spec-gated bit-for-bit. Same
+    * symmetric contract as pageRankFp (every node appears as both src and
+    * dst; co-mention graphs satisfy it); nodes unreachable from the seeds
+    * hold rank 0 and stay in the output — the row set is the node set,
+    * deterministic. Same loop shape and cost as pageRankFp: the (src, dst,
+    * deg) invariant checkpointed once, one edge-scale exchange per
+    * iteration, node-scale everything else; superseded rank generations
+    * freed in-loop. */
+  def personalizedPageRankFp(edges: DataFrame, seeds: DataFrame,
+                             iterations: Int,
+                             scale: Long = 1000000000000L): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val s = seeds.select(col("ent")).distinct()
+    val nS = s.count()
+    require(nS > 0, "personalizedPageRankFp: empty seed set")
+    val r0 = scale / nS
+    val tele = (15L * r0) / 100L
+    // node frame with its seed flag, partitioned on ent and checkpointed
+    // once — every iteration's left join reuses it (seeds outside the graph
+    // would silently receive no teleport, so they are required absent)
+    val nodes = deg.select(col("src").as("ent"))
+      .join(s.withColumn("is_seed", lit(true)), Seq("ent"), "left")
+      .select(col("ent"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .repartition(col("ent")).sortWithinPartitions("ent")
+      .localCheckpoint(true)
+    val eDeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("ent"),
+      when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    var prevCp: DataFrame = ranks
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg
+        .join(ranks.select(col("ent").as("src"), col("rank")), "src")
+        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
+      val sums = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
+      val next = nodes.join(sums, Seq("ent"), "left")
+        .withColumn("in_mass", coalesce(col("s"), lit(0L)))
+        .select(col("ent"),
+          (when(col("is_seed"), lit(tele)).otherwise(lit(0L))
+            + expr("(85 * in_mass) div 100")).as("rank"))
+        .localCheckpoint(true)
+      releaseResult(prevCp)
+      prevCp = next
+      ranks = next
+    }
+    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
+      .localCheckpoint(true)
+    releaseResult(prevCp)
+    releaseResult(eDeg)
+    releaseResult(nodes)
+    out
+  }
+
   /** PageRank over a DIRECTED edge list with dangling-node mass — the
     * general form `pageRankFp`'s symmetric contract cannot serve: real
     * link / mention graphs are directed with sinks (no out-edges, their

@@ -305,6 +305,65 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(gen == fp && gen.nonEmpty)
   }
 
+  /** Driver-side mirror of personalizedPageRankFp's recurrence: teleport
+    * (and the initial mass) only on the seed set. */
+  def brutePersonalized(edges: Seq[(String, String)], seeds: Set[String],
+                        iters: Int, scale: Long): Map[String, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val r0 = scale / seeds.size
+    val tele = (15L * r0) / 100L
+    var r = deg.keys.map(v => v -> (if (seeds(v)) r0 else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.keys.map(v => v -> ((if (seeds(v)) tele else 0L)
+        + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankFp matches the brute model; unreached components stay 0") {
+    import spark.implicits._
+    // two components: {a,b,c} triangle + pendant d, and a DISCONNECTED pair
+    // {x,y}; seeding {a} must leave x and y at exactly 0 forever
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.personalizedPageRankFp(
+        sym, Seq("a").toDF("ent"), 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val model = brutePersonalized(und ++ und.map(_.swap), Set("a"), 5, 1000000000000L)
+    assert(out == model, s"engine=$out\nmodel=$model")
+    assert(out("x") == 0L && out("y") == 0L)
+    // proximity semantics: the seed's direct neighbors outrank the pendant
+    // d, which is two hops out
+    assert(out("a") > out("b") && out("b") > out("d"))
+  }
+
+  test("personalizedPageRankFp with seeds = all nodes equals pageRankFp bit-for-bit") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val allNodes = sym.select(col("src").as("ent")).distinct()
+    val ppr = GraphOps.personalizedPageRankFp(sym, allNodes, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fp = GraphOps.pageRankFp(sym, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ppr == fp && ppr.nonEmpty)
+  }
+
+  test("personalizedPageRankFp is bit-identical across parallelism and repartitioning") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("b", "d").toDF("ent")
+    val a = GraphOps.personalizedPageRankFp(sym.repartition(13), seeds, 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = GraphOps.personalizedPageRankFp(sym.coalesce(1), seeds.coalesce(1), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pageRankDirected is bit-identical across parallelism and repartitioning") {
     import spark.implicits._
     val directed = Seq(
