@@ -589,6 +589,27 @@ object SparkEntry {
           col("asof_value").as("view_value"),
           (Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("asof_ts"))).as("lag_ms"))
     }),
+    // range (interval) join: for each click, the views by the same user in
+    // the preceding hour (bounds inclusive, micros precision), aggregated
+    // to count + lag extrema. The engine runs the BUCKETED spelling (one
+    // (key, bucket) exchange per side, left at most doubled — never an
+    // inequality SMJ filter, never a BroadcastNestedLoop; plan-gated in
+    // the spec); the twin is DuckDB's plain inequality join — a genuinely
+    // independent spelling of the same semantics.
+    "ev_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      Timeseries.rangeJoin(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "value"),
+          "user_id", "ts", -3600000L, 0L, Seq("value"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_views"),
+          min(Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("r_ts"))).as("min_lag_ms"),
+          max(Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("r_ts"))).as("max_lag_ms"))
+    }),
     // gap sessionization (8h gap: the fixture's median per-user gap is
     // ~7.3h, so both continue and break branches carry real volume); the
     // per-session aggregate reuses the window's key exchange — one shuffle
@@ -631,6 +652,14 @@ object SparkEntry {
     // path end to end: pure-Scala oracle emits the edges, DuckDB does the
     // traversal)
     "kg_comention" -> ((s, dir) => comentionPairs(s, dir)),
+    // exact integer lift (ppm) over the co-mention pairs: the statistical
+    // edge-weighting read — pairs that co-occur more than their marginals
+    // predict. All int64 (float PMI is monotone in it but can't be
+    // hash-gated); marginals broadcast, pairs reuse the memoized frame.
+    "kg_comention_lift" -> ((s, dir) =>
+      GraphOps.comentionLift(
+        kg(s, dir).triples.select("subj", "pred", "obj"),
+        comentionPairs(s, dir))),
     "kg_twohop_type" -> ((s, dir) =>
       GraphOps.twoHopTypes(kg(s, dir).triples.select("subj", "pred", "obj"))),
     // fixed-point PageRank (3 iterations) over the co-mention graph: every
@@ -656,6 +685,18 @@ object SparkEntry {
       val seeds = edges.select(col("src").as("ent")).distinct()
         .orderBy("ent").limit(3)
       GraphOps.personalizedPageRankFp(edges, seeds, 3)
+    }),
+    // k-core (k=4) of the co-mention graph: entities that stay 4-connected
+    // after weakly-attached nodes cascade away — the dense-subgraph prune.
+    // The engine peels to the FIXPOINT (data-independent code, data-
+    // dependent round count); the twin unrolls 6 peel rounds — peeling is
+    // idempotent past convergence (3 rounds at this sf), so any unroll
+    // >= convergence is exact.
+    "kg_kcore" -> ((s, dir) => {
+      val p = comentionPairs(s, dir)
+      GraphOps.kCore(
+        p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+          .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst"))), 4)
     }),
     // DIRECTED PageRank with dangling-node mass over the turn -> entity
     // mention graph — a real directed graph exercising BOTH shapes the
@@ -984,6 +1025,17 @@ object SparkEntry {
           "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
           "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      // independent spelling: plain inequality join (DuckDB handles the
+      // small scale fine) vs the engine's bucketed equi-join + exact filter
+      "ev_range_join" ->
+        ("SELECT l.event_id, l.user_id, count(*) AS n_views, " +
+          "min(epoch_ms(l.ts) - epoch_ms(r.ts)) AS min_lag_ms, " +
+          "max(epoch_ms(l.ts) - epoch_ms(r.ts)) AS max_lag_ms " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+          "JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+          "ON l.user_id = r.user_id " +
+          "AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts " +
+          "GROUP BY 1, 2"),
       "ev_hourly_rollup" ->
         ("SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, " +
           "count(*) AS n, " +
@@ -1031,6 +1083,22 @@ object SparkEntry {
           |SELECT a.ent AS entity_a, b.ent AS entity_b, count(*) AS n_turns
           |FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
           |GROUP BY 1, 2""").stripMargin,
+      // lift in integer ppm: every operand BIGINT, `//` floor division —
+      // bit-exact across engines (a float PMI could never be)
+      "kg_comention_lift" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |p AS (SELECT a.ent AS entity_a, b.ent AS entity_b, count(*) AS c_ab
+          |      FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+          |      GROUP BY 1, 2),
+          |c AS (SELECT ent, count(*) AS c FROM m GROUP BY 1),
+          |n AS (SELECT count(DISTINCT turn) AS n_turns FROM m)
+          |SELECT p.entity_a, p.entity_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+          |  n.n_turns,
+          |  CAST((p.c_ab * n.n_turns * 1000000) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+          |FROM p JOIN c ca ON ca.ent = p.entity_a
+          |       JOIN c cb ON cb.ent = p.entity_b CROSS JOIN n""").stripMargin,
       "kg_pagerank" ->
         ("""WITH m AS (
           |  SELECT subj AS turn, obj AS ent
@@ -1052,6 +1120,26 @@ object SparkEntry {
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      // k-core by 6 unrolled peel rounds (fixpoint at round 3 for this
+      // corpus; extra rounds are no-ops because peeling is idempotent past
+      // convergence) — each round keeps edges whose BOTH endpoints had
+      // degree >= 4 in the previous round, the same simultaneous semantics
+      // the engine loop implements
+      "kg_kcore" -> {
+        val peel = (1 to 6).map { i =>
+          s"""e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  WHERE e.src IN (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 4)
+             |    AND e.dst IN (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 4))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH m AS (
+           |  SELECT subj AS turn, obj AS ent
+           |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+           |e0 AS (
+           |  SELECT DISTINCT a.ent AS src, b.ent AS dst
+           |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent),
+           |$peel
+           |SELECT src AS ent, count(*) AS core_deg FROM e6 GROUP BY 1""".stripMargin
+      },
       // personalized PageRank, 3 iterations unrolled: teleport only to the
       // 3 smallest entity ids; every op integer => exact. Non-seed nodes
       // start (and may stay) at 0; the LEFT joins keep the full node set.

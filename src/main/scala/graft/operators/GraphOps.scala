@@ -29,6 +29,39 @@ object GraphOps {
       .agg(count(lit(1)).as("n_turns"))
   }
 
+  /** Co-mention LIFT: exact integer association strength for every
+    * co-mention pair — `lift = P(a,b) / (P(a)·P(b))` over turns, emitted as
+    * parts-per-million computed entirely in int64:
+    *
+    *   lift_ppm = (c_ab * n_turns * 1000000) div (c_a * c_b)
+    *
+    * Support counts alone rank hub entities first; lift corrects for the
+    * marginals, surfacing pairs that co-occur MORE than their individual
+    * frequencies predict — the statistical edge-weighting step between raw
+    * co-occurrence and a weighted KG edge. Float PMI (a log of this ratio,
+    * monotone in it) can never be hash-gated across engines; the integer
+    * ppm spelling is exact and order-isomorphic to PMI for ranking.
+    *
+    * Plan: `pairs` (the co-mention frame — bounded by mentions-per-turn²,
+    * never corpus-scale) joins two BROADCAST dictionary-sized marginal
+    * frames and one broadcast single-row total; no new shuffle beyond the
+    * marginal aggregate. Arithmetic is ANSI int64 — an overflow is LOUD,
+    * and the bound is c_ab·n_turns·1e6 ≤ n_turns²·1e6, safe to ~3M turns
+    * per corpus slice; beyond that, compute lift per time/shard slice (it
+    * is a ratio — scale-invariant under uniform slicing). */
+  def comentionLift(triples: DataFrame, pairs: DataFrame): DataFrame = {
+    val m = triples.filter(col("pred") === "mentions")
+      .select(col("subj").as("turn"), col("obj").as("ent"))
+    val c = m.groupBy("ent").agg(count(lit(1)).as("c"))
+    val n = m.select(countDistinct(col("turn")).as("n_turns"))
+    pairs.withColumnRenamed("n_turns", "c_ab")
+      .join(broadcast(c.select(col("ent").as("entity_a"), col("c").as("c_a"))), "entity_a")
+      .join(broadcast(c.select(col("ent").as("entity_b"), col("c").as("c_b"))), "entity_b")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr("(c_ab * n_turns * 1000000) div (c_a * c_b)"))
+      .select("entity_a", "entity_b", "c_ab", "c_a", "c_b", "n_turns", "lift_ppm")
+  }
+
   /** Turn -> entity -> type: 2-hop resolution of every mention edge through
     * the entity's `type` edge, aggregated to per-type mention volume. The
     * type side is dictionary-sized (one edge per known entity), so it
@@ -220,6 +253,59 @@ object GraphOps {
       .localCheckpoint(true)
     liveCp.foreach(releaseResult)
     releaseResult(eDeg)
+    out
+  }
+
+  /** k-core decomposition by iterative peeling: repeatedly remove nodes of
+    * degree < k (SIMULTANEOUSLY — each round's degrees come from the
+    * previous round's edge set) until nothing changes; what survives is
+    * the maximal subgraph where every node keeps >= k neighbors. The
+    * dense-subgraph / noise-pruning read over a co-mention graph: entities
+    * that stay k-connected after all weakly-attached nodes cascade away.
+    *
+    * Input is the symmetric directed edge list (both orientations, the
+    * pageRankFp convention), so out-degree IS degree. Per round: one
+    * edge-scale aggregate + two semi-joins against the node-scale keep
+    * set (broadcast while dictionary-sized, SMJ beyond); each generation
+    * localCheckpointed (truncating the growing loop lineage) and the
+    * superseded one freed, the CC discipline. Peeling only removes edges,
+    * so an unchanged edge COUNT is an unchanged edge SET — the driver-side
+    * convergence test is one long per round. Rounds are bounded by the
+    * peel depth (how long a chain of "removing him drops her under k"
+    * cascades run), not edge volume — single digits on real graphs.
+    *
+    * Returns (ent, core_deg): the k-core's nodes with their in-core
+    * degree (all >= k by construction). Deterministic: the fixpoint is
+    * unique (the k-core is), independent of partitioning. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val n = next.count()
+      if (n == nEdges) {
+        releaseResult(next)
+        converged = true
+      } else {
+        releaseResult(e)
+        e = next
+        nEdges = n
+      }
+    }
+    val out = e.groupBy(col("src").as("ent"))
+      .agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint(true)
+    releaseResult(e)
     out
   }
 

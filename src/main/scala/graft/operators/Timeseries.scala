@@ -94,6 +94,61 @@ object Timeseries {
     matched.select(outCols: _*)
   }
 
+  /** Epoch MICROseconds — parquet timestamps carry micros, so interval
+    * comparisons happen at full precision (ms truncation would move rows
+    * across a window boundary that lands mid-millisecond). */
+  private[graft] def epochUs(c: Column): Column =
+    unix_micros(c.cast("timestamp"))
+
+  /** Range (interval) join: every (left, right) pair with the same key and
+    * `left.ts + lowerMs <= right.ts <= left.ts + upperMs` (bounds
+    * inclusive, compared at microsecond precision). The naive spelling —
+    * an equi-join on key plus a BETWEEN on ts — Spark plans as a
+    * SortMergeJoin on key with the interval as a post-join filter, which
+    * is per-key quadratic (every click × every view of a hot user), and
+    * without the key it degenerates to BroadcastNestedLoop. This is the
+    * BUCKETED spelling that survives 100 TB:
+    *
+    *   1. bucket width W = the window length (upperMs - lowerMs), in
+    *      micros; a window of length W overlaps at most TWO W-buckets;
+    *   2. right rows land in bucket floor(ts/W) — one row each;
+    *   3. left rows explode to the (at most two) buckets their window
+    *      touches: sequence(floor((ts+lower)/W), floor((ts+upper)/W));
+    *   4. equi-join on (key, bucket), then the exact BETWEEN filter.
+    *
+    * Cost: ONE exchange per side on (key, bucket) with the left at most
+    * doubled — join fan-out is bounded by rows-per-bucket, not
+    * rows-per-key, so a hot key's quadratic blow-up is cut by time
+    * locality (the same reason Databricks' range-join hint bins). All
+    * integer `div` arithmetic (epoch micros are positive, so truncating
+    * div IS floor) — no doubles near bucket boundaries. Inner semantics:
+    * left rows with no right row in their window are dropped.
+    *
+    * Output: every left column, then the right ts + payload columns
+    * renamed `r_<name>`. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                tsCol: String, lowerMs: Long, upperMs: Long,
+                payloadCols: Seq[String]): DataFrame = {
+    require(upperMs > lowerMs,
+      s"rangeJoin: empty window [$lowerMs, $upperMs]")
+    val wUs = (upperMs - lowerMs) * 1000L
+    val loUs = lowerMs * 1000L
+    val hiUs = upperMs * 1000L
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_lus", epochUs(col(tsCol)))
+      .withColumn("_b", explode(sequence(
+        expr(s"(_lus + $loUs) div $wUs"), expr(s"(_lus + $hiUs) div $wUs"))))
+    val r = right.select(
+      (col(keyCol).as("_rk") +: epochUs(col(tsCol)).as("_rus") +:
+        (tsCol +: payloadCols).map(c => col(c).as(s"r_$c"))): _*)
+      .withColumn("_b", expr(s"_rus div $wUs"))
+    l.join(r, l(keyCol) === r("_rk") && l("_b") === r("_b"))
+      .filter(col("_rus").between(col("_lus") + loUs, col("_lus") + hiUs))
+      .select(leftCols.map(col) ++
+        (tsCol +: payloadCols).map(c => col(s"r_$c")): _*)
+  }
+
   /** Gap-based sessionization: per key, a new session starts when the gap
     * to the previous event exceeds `gapSeconds` (strictly greater — an
     * exactly-gap delta continues the session). Adds `session_idx`

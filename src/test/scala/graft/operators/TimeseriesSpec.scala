@@ -150,6 +150,27 @@ class TimeseriesSpec extends AnyFunSuite {
       ("e1", "e2") -> 2L, ("e1", "e3") -> 1L, ("e2", "e3") -> 1L), out)
   }
 
+  test("comentionLift: exact integer ppm, above/below the independence line") {
+    import spark.implicits._
+    // a,b co-occur in 2 of their 3 turns each (positively associated);
+    // a,c co-occur once against c's 2 turns (below independence)
+    val t = Seq(
+      ("t1", "mentions", "a"), ("t1", "mentions", "b"),
+      ("t2", "mentions", "a"), ("t2", "mentions", "b"),
+      ("t3", "mentions", "a"), ("t3", "mentions", "c"),
+      ("t4", "mentions", "b"), ("t5", "mentions", "c"))
+      .toDF("subj", "pred", "obj")
+    val out = GraphOps.comentionLift(t, GraphOps.coMentions(t)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // n_turns=5; c_a=3, c_b=3, c_c=2
+    // lift(a,b) = (2*5*1e6) div (3*3) = 1,111,111 ppm (> 1e6: associated)
+    // lift(a,c) = (1*5*1e6) div (3*2) =   833,333 ppm (< 1e6: anti)
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 3L, 5L, 1111111L)),
+      ("a", "c") -> ((1L, 3L, 2L, 5L, 833333L))), out)
+  }
+
   test("twoHopTypes: mention volume per ontology type; untyped mentions drop") {
     val out = GraphOps.twoHopTypes(triples).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -362,6 +383,80 @@ class TimeseriesSpec extends AnyFunSuite {
     val b = GraphOps.personalizedPageRankFp(sym.coalesce(1), seeds.coalesce(1), 7)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  /** Brute model for rangeJoin: every (left, right) pair with the same key
+    * and l.ts + lower <= r.ts <= l.ts + upper (ms, bounds inclusive). */
+  private def bruteRange(lower: Long, upper: Long): Set[(Long, Long, Long)] =
+    (for {
+      (lk, lt, lid) <- leftRows
+      (rk, rt, rid, _) <- rightRows
+      if rk == lk && rt >= lt + lower && rt <= lt + upper
+    } yield (lid, lk, rid)).toSet
+
+  test("rangeJoin matches the brute inequality model on symmetric and asymmetric windows") {
+    for ((lo, hi) <- Seq((-3000L, 0L), (-1000L, 2000L), (1L, 4000L))) {
+      val out = Timeseries.rangeJoin(
+          leftDf, rightDf, "user_id", "ts", lo, hi, Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("r_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == bruteRange(lo, hi), s"window [$lo, $hi]")
+    }
+  }
+
+  test("rangeJoin bounds are inclusive and exact at microsecond precision") {
+    import spark.implicits._
+    // right rows planted exactly ON and 1ms OUTSIDE both bounds of a
+    // [-3000, 0] window anchored at l.ts = 10000
+    val l = Seq((1L, 1L, ts(10000L))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (1L, ts(6999L), 90L), // 1ms before the lower bound -> excluded
+      (1L, ts(7000L), 91L), // exactly at l.ts - 3000 -> included
+      (1L, ts(10000L), 92L), // exactly at l.ts -> included
+      (1L, ts(10001L), 93L)) // 1ms after the upper bound -> excluded
+      .toDF("user_id", "ts", "event_id")
+    val got = Timeseries.rangeJoin(l, r, "user_id", "ts", -3000L, 0L, Seq("event_id"))
+      .select("r_event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(91L, 92L))
+  }
+
+  test("rangeJoin plans as an equi-join on (key, bucket) — no nested loop, no cartesian") {
+    val out = Timeseries.rangeJoin(
+      leftDf, rightDf, "user_id", "ts", -3000L, 0L, Seq("event_id", "value"))
+    out.collect() // force execution so the final plan (incl. AQE) exists
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("rangeJoin is deterministic under hostile repartitioning") {
+    val a = Timeseries.rangeJoin(
+        leftDf.repartition(13), rightDf.coalesce(1), "user_id", "ts",
+        -3000L, 0L, Seq("event_id", "value"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = Timeseries.rangeJoin(
+        leftDf.coalesce(1), rightDf.repartition(7), "user_id", "ts",
+        -3000L, 0L, Seq("event_id", "value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kCore: cascading peel reaches the unique fixpoint") {
+    import spark.implicits._
+    // triangle a-b-c with a pendant chain c-d-e: e falls (deg 1), which
+    // drops d under k=2 NEXT round (the cascade needs the simultaneous
+    // semantics — a single-pass filter would keep d); the triangle is the
+    // 2-core
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core2 = GraphOps.kCore(sym, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), core2)
+    // k=3: triangle degrees are 2 -> everything peels away
+    assert(GraphOps.kCore(sym, 3).count() == 0L)
+    // determinism under hostile repartitioning (the fixpoint is unique)
+    val rep = GraphOps.kCore(sym.repartition(13), 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == core2)
   }
 
   test("pageRankDirected is bit-identical across parallelism and repartitioning") {
