@@ -30,7 +30,11 @@ import graft.operators.GraphOps
   *    >=10M edges — wall + rounds-to-convergence, an edge-consistency
   *    referee (0 edges may cross labels), a root referee (every label must
   *    label itself), and the bit-exact hostile-repartitioning check (the
-  *    min-label fixpoint is unique).
+  *    min-label fixpoint is unique);
+  *  - GraphOps.kCore: peel rounds + wall at the same scale, an induced
+  *    referee (recounting degrees over the original edges semi-joined on
+  *    the core nodes must reproduce every core_deg), the k-invariant, and
+  *    the bit-exact hostile-repartitioning check (the k-core is unique).
   *
   * Graph: `nEdges` undirected edges over `nNodes` nodes; endpoint draws
   * come from xxhash64 so the edge list is reproducible anywhere. The dst
@@ -243,9 +247,46 @@ object GraphBench {
     }
     ConnectedComponents.releaseResult(cc)
     cc.unpersist(false)
+
+    // ---- k-core peeling at scale: the dense-subgraph prune on the same
+    // graph (k = 8 bites on the long-tailed degree distribution). Checked
+    // three ways: (1) induced referee — the reported core must BE the
+    // induced subgraph on its node set: semi-joining the ORIGINAL edges on
+    // the core nodes and recounting per-node degrees must reproduce every
+    // core_deg exactly (peeling may only remove edges whose endpoint left);
+    // (2) the k-invariant — no reported degree may be < k; (3) determinism
+    // — the k-core is unique, so hostile repartitioning must reproduce it
+    // bit-for-bit.
+    val kcK = 8
+    val kcSym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    var kcRounds = 0
+    val (kcore, tKc) = time {
+      val c = GraphOps.kCore(kcSym, kcK, onRounds = r => kcRounds = r).persist()
+      c.count(); c
+    }
+    val kcNodes = kcore.count()
+    val kcBelowK = kcore.filter(col("core_deg") < kcK).count()
+    val kcCoreSet = kcore.select(col("ent"))
+    val induced = kcSym
+      .join(kcCoreSet.withColumnRenamed("ent", "src"), Seq("src"), "left_semi")
+      .join(kcCoreSet.withColumnRenamed("ent", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("ent")).agg(count(lit(1)).as("ideg"))
+    val kcInducedMismatches = kcore.join(induced, Seq("ent"), "full")
+      .filter(col("core_deg").isNull || col("ideg").isNull ||
+        col("core_deg") =!= col("ideg")).count()
+    val (kcMismatches, tKcCheck) = time {
+      val c2 = GraphOps.kCore(kcSym.repartition(7), kcK)
+      val bad = kcore.join(c2.withColumnRenamed("core_deg", "d2"), Seq("ent"), "full")
+        .filter(col("core_deg").isNull || col("d2").isNull ||
+          col("core_deg") =!= col("d2")).count()
+      ConnectedComponents.releaseResult(c2)
+      bad
+    }
+    kcore.unpersist(false)
     und.unpersist(false)
 
-    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f}""")
+    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f,"kcore_k":$kcK,"kcore_sec":$tKc%.2f,"kcore_rounds":$kcRounds,"kcore_nodes":$kcNodes,"kcore_below_k":$kcBelowK,"kcore_induced_mismatches":$kcInducedMismatches,"kcore_bitexact_mismatches":$kcMismatches,"kcore_check_sec":$tKcCheck%.2f}""")
     spark.stop()
   }
 }

@@ -277,7 +277,8 @@ object GraphOps {
     * Returns (ent, core_deg): the k-core's nodes with their in-core
     * degree (all >= k by construction). Deterministic: the fixpoint is
     * unique (the k-core is), independent of partitioning. */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
+            onRounds: Int => Unit = _ => ()): DataFrame = {
     import graft.pipeline.ConnectedComponents.releaseResult
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var nEdges = e.count()
@@ -302,6 +303,7 @@ object GraphOps {
         nEdges = n
       }
     }
+    onRounds(iter)
     val out = e.groupBy(col("src").as("ent"))
       .agg(count(lit(1)).as("core_deg"))
       .localCheckpoint(true)
