@@ -686,6 +686,19 @@ object SparkEntry {
         .orderBy("ent").limit(3)
       GraphOps.personalizedPageRankFp(edges, seeds, 3)
     }),
+    // BFS hop distance (<= 4 hops) from the same 3 seed entities over the
+    // co-mention graph: multi-hop reachability WITH the hop count — the
+    // "how far is every entity from X" read kg_onehop and PageRank both
+    // lose. BFS levels are unique, so the engine's frontier loop and the
+    // twin's recursive CTE (min over all <=4-hop walks) must agree exactly.
+    "kg_bfs_dist" -> ((s, dir) => {
+      val p = comentionPairs(s, dir)
+      val edges = p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
+        .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst")))
+      val seeds = edges.select(col("src").as("ent")).distinct()
+        .orderBy("ent").limit(3)
+      GraphOps.bfsDistances(edges, seeds, 4)
+    }),
     // k-core (k=4) of the co-mention graph: entities that stay 4-connected
     // after weakly-attached nodes cascade away — the dense-subgraph prune.
     // The engine peels to the FIXPOINT (data-independent code, data-
@@ -850,6 +863,10 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextStats.quality(tbl(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextStats.langId(tbl(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextStats.contentFingerprint(tbl(s, dir, "documents"))),
+    // Gopher repetition filters, exact-integer spelling; the twin computes
+    // the top bigram relationally (group + window) where the engine folds a
+    // sorted array — two independent spellings of (count DESC, gram ASC)
+    "text_repetition" -> ((s, dir) => TextStats.repetitionStats(tbl(s, dir, "documents"))),
     "text_winnow_fp" -> ((s, dir) => TextStats.winnowFingerprint(tbl(s, dir, "documents"))),
     // per-doc positional gram hashes — the {OUT} dump whose DuckDB windowed
     // re-derivation gates text_winnow_fp (rows-only itself: murmur is not in
@@ -1140,6 +1157,24 @@ object SparkEntry {
            |$peel
            |SELECT src AS ent, count(*) AS core_deg FROM e6 GROUP BY 1""".stripMargin
       },
+      // BFS distances by recursive CTE: UNION (not UNION ALL) bounds the
+      // walk state at nodes x depths, and min(dist) over all <=4-hop walks
+      // IS the BFS level — an independent spelling of the engine's
+      // frontier-expansion loop. Same 3 lexicographic seeds as kg_ppr.
+      "kg_bfs_dist" ->
+        ("""WITH RECURSIVE m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |e AS (
+          |  SELECT DISTINCT a.ent AS src, b.ent AS dst
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent),
+          |seeds AS (SELECT DISTINCT src AS ent FROM e ORDER BY ent LIMIT 3),
+          |walk(ent, dist) AS (
+          |  SELECT ent, 0 AS dist FROM seeds
+          |  UNION
+          |  SELECT e.dst AS ent, w.dist + 1 AS dist
+          |  FROM walk w JOIN e ON e.src = w.ent WHERE w.dist < 4)
+          |SELECT ent, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY ent""").stripMargin,
       // personalized PageRank, 3 iterations unrolled: teleport only to the
       // 3 smallest entity ids; every op integer => exact. Non-seed nodes
       // start (and may stay) at 0; the LEFT joins keep the full node set.
@@ -1559,6 +1594,46 @@ object SparkEntry {
           |HAVING count(*) >= 3""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint FROM documents",
+      // Gopher repetition filters: the relational spelling of the engine's
+      // sorted-array fold — unnest bigrams, group, pick (count DESC, gram
+      // ASC) rank 1 per doc. list_sum is NULL on empty lists and DuckDB
+      // widens sums to HUGEINT: coalesce + ::BIGINT on every sum (the
+      // ev_sessions lesson). Docs with < 2 words left-join to no top gram
+      // -> (0, '', 0), the engine's fold-zero exactly.
+      "text_repetition" ->
+        ("""WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws,
+          |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+          |                x -> x <> '') AS ls
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |        unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS gram
+          |      FROM w),
+          |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          |top AS (SELECT doc_id, gram, c,
+          |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+          |        FROM gc)
+          |SELECT w.doc_id,
+          |  len(ws)::BIGINT AS n_words,
+          |  (len(ws) - len(list_distinct(ws)))::BIGINT AS dup_words,
+          |  coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS word_chars,
+          |  (coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+          |    - coalesce(list_sum(list_transform(list_distinct(ws), x -> length(x))), 0))::BIGINT
+          |    AS dup_word_chars,
+          |  len(ls)::BIGINT AS n_lines,
+          |  (len(ls) - len(list_distinct(ls)))::BIGINT AS dup_lines,
+          |  coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT AS line_chars,
+          |  (coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+          |    - coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0))::BIGINT
+          |    AS dup_line_chars,
+          |  greatest(len(ws) - 1, 0)::BIGINT AS n_grams,
+          |  coalesce(t.c, 0)::BIGINT AS top_gram_n,
+          |  coalesce(t.gram, '') AS top_gram,
+          |  (coalesce(t.c, 0) * length(coalesce(t.gram, '')))::BIGINT AS top_gram_chars,
+          |  ((len(ws) - len(list_distinct(ws))) * 100 <= len(ws) * 55
+          |    AND coalesce(t.c, 0) <= 2) AS keep
+          |FROM w LEFT JOIN top t ON t.doc_id = w.doc_id AND t.rn = 1""").stripMargin,
       // ---- golden-oracle twins (pure-Scala reference math, materialized by
       // Verify as parquet; see the {ORA} token contract above)
       "kg_mentions" ->

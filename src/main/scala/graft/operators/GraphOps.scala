@@ -457,4 +457,63 @@ object GraphOps {
     releaseResult(nodes)
     out
   }
+
+  /** BFS hop distances from a seed set — the "how far is every entity from
+    * X" KG read (multi-hop reachability with the hop count kept, where
+    * `kg_onehop` stops at one hop and PageRank forgets distance entirely).
+    * Classic frontier expansion: round d joins the edge frame to the
+    * current frontier and anti-joins everything already visited, so each
+    * node is labeled exactly once, with its MINIMUM distance — BFS levels
+    * are unique, so the result is deterministic regardless of partitioning.
+    *
+    * Per round: one edge-scale equi-join keyed on src (the frontier side is
+    * node-scale — broadcast while small, SMJ beyond) + one node-scale
+    * anti-join. The edge frame is checkpointed ONCE and reused by every
+    * round; frontier generations are checkpointed (truncating loop lineage)
+    * and freed one round after they stop being joined — the CC/PageRank
+    * block discipline. Rounds are bounded by min(maxDepth, graph diameter);
+    * the loop exits early on an empty frontier, so a reachable component
+    * never pays for the cap.
+    *
+    * Returns (ent, dist): every node within `maxDepth` hops of a seed,
+    * seeds at 0. Unreached nodes are absent (the caller left-joins the node
+    * frame if it wants nulls). At 100 TB the frontier is the working set —
+    * node-scale, never edge-scale — and the edge invariant is scanned once
+    * per round, the same irreducible cost as one PageRank iteration. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
+    var visited = seeds.select(col("ent")).distinct()
+      .select(col("ent"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    var done = false
+    while (!done && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.select(col("ent").as("src")), Seq("src"))
+        .select(col("dst").as("ent")).distinct()
+        .join(visited.select("ent"), Seq("ent"), "left_anti")
+        .select(col("ent"), lit(d.toLong).as("dist"))
+        .localCheckpoint(true)
+      // the previous frontier's blocks fed this round's join and were folded
+      // into `visited` last round; both uses are done once `next` materializes
+      if (frontier ne visited) releaseResult(frontier)
+      frontier = visited
+      if (next.isEmpty) {
+        releaseResult(next)
+        done = true
+      } else {
+        val nv = visited.unionByName(next).localCheckpoint(true)
+        releaseResult(visited)
+        visited = nv
+        frontier = next
+      }
+    }
+    if (frontier ne visited) releaseResult(frontier)
+    releaseResult(e)
+    visited
+  }
 }

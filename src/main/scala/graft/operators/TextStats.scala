@@ -91,6 +91,81 @@ object TextStats {
     withHits.withColumn("predicted_lang", pred)
   }
 
+  /** Intra-document repetition stats — the Gopher-style repetition filters
+    * (Rae et al. 2021 §A1.1: duplicate-line fractions, most-frequent-n-gram
+    * character fraction) every LLM data pipeline applies before training.
+    * All-exact spelling: counts are int64 and the keep rule compares
+    * cross-multiplied integers, so the gate is bit-stable where the paper's
+    * float fractions would not be. Three grains per doc:
+    *
+    *  - words: `dup_words` = occurrences beyond a word's first (what exact
+    *    intra-doc word dedup would delete), with the char variants;
+    *  - lines: same over trimmed non-empty '\n' splits (single-line corpora
+    *    degenerate to n_lines=1, dup=0 — still exact; the spec exercises
+    *    multi-line docs);
+    *  - top bigram: the most frequent adjacent word pair, ties broken by
+    *    gram ASC — count, the gram itself, and its repeated-char mass
+    *    (count x length).
+    *
+    * The top-gram scan is SHUFFLE-FREE: sort the doc's bigram array and
+    * take the longest run with a single `aggregate` fold (strictly-greater
+    * updates keep the lexicographically smallest gram among tied maxima —
+    * the same (count DESC, gram ASC) order the twin's window spells
+    * relationally). The whole operator is one narrow projection over the
+    * scan: per-row arrays, no exchange, the shape that survives 100 TB.
+    *
+    * keep := dup_words*100 <= n_words*55 AND top_gram_n <= 2 (both sides
+    * exercised at sf0.01: 240/500 and 30/500 trip respectively). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    // whitespace-RUN tokenization (not TextOps.words' single-space split):
+    // words must not span line breaks in a line-aware operator; '\s' is
+    // ASCII-compatible between Java and RE2, so the twin mirrors it exactly
+    val ws = filter(split(lower(col("text")), "\\s+", -1), w => w =!= lit(""))
+    val lines = filter(transform(split(col("text"), "\n", -1), l => trim(l)),
+      l => l =!= lit(""))
+    def charSum(arr: Column) =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val grams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // longest-run fold over the sorted bigrams: (prev, run, best, bestg);
+    // x == prev extends the run, a STRICTLY greater run replaces the best —
+    // so the first (smallest) gram among tied maxima wins
+    val top = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestg")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc.getField("best"), run)
+            .otherwise(acc.getField("best")).as("best"),
+          when(run > acc.getField("best"), x)
+            .otherwise(acc.getField("bestg")).as("bestg"))
+      })
+    docs.select(col("doc_id"), ws.as("ws"), lines.as("ls"), top.as("top"),
+        size(grams).cast("long").as("n_grams"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(array_distinct(col("ws")))).cast("long").as("dup_words"),
+        charSum(col("ws")).as("word_chars"),
+        (charSum(col("ws")) - charSum(array_distinct(col("ws")))).as("dup_word_chars"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(array_distinct(col("ls")))).cast("long").as("dup_lines"),
+        charSum(col("ls")).as("line_chars"),
+        (charSum(col("ls")) - charSum(array_distinct(col("ls")))).as("dup_line_chars"),
+        col("n_grams"),
+        col("top").getField("best").as("top_gram_n"),
+        col("top").getField("bestg").as("top_gram"),
+        (col("top").getField("best") * length(col("top").getField("bestg")).cast("long"))
+          .as("top_gram_chars"))
+      .withColumn("keep",
+        col("dup_words") * 100 <= col("n_words") * 55 && col("top_gram_n") <= 2)
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercased text
     * (exact-dup detection key, SQL-reproducible). */
   def contentFingerprint(docs: DataFrame): DataFrame =

@@ -210,6 +210,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == 1.0 / 5.0)
   }
 
+  test("repetition stats: dup lines/words, top bigram with deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      // 3 lines, "same line" twice (9 dup chars); whitespace-run words:
+      // [same, line, same, line, go, go, b, a, b, a] -> 10 words, 5 dups;
+      // bigrams: same line|line same|same line|line go|go go|go b|b a|
+      // a b|b a -> "same line" x2 AND "b a" x2 tie
+      (1L, "same line\nsame line\ngo go b a b a"),
+      (2L, "all distinct words here"), // no repetition at all
+      (3L, "x x x x x")) // one word repeated: bigram "x x" x4
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_lines") == 3L)
+    assert(r1.getAs[Long]("dup_lines") == 1L)
+    assert(r1.getAs[Long]("dup_line_chars") == 9L) // "same line" second copy
+    assert(r1.getAs[Long]("n_words") == 10L)
+    assert(r1.getAs[Long]("dup_words") == 5L)
+    assert(r1.getAs[Long]("top_gram_n") == 2L)
+    // ties at n=2: "same line", "b a" -> lexicographic MIN among maxima
+    assert(r1.getAs[String]("top_gram") == "b a", r1.getAs[String]("top_gram"))
+    assert(r1.getAs[Boolean]("keep")) // dup_words 5/10 = 50% <= 55%, topn 2
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("dup_words") == 0L && r2.getAs[Long]("dup_lines") == 0L)
+    assert(r2.getAs[Long]("top_gram_n") == 1L && r2.getAs[Boolean]("keep"))
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("top_gram_n") == 4L)
+    assert(r3.getAs[String]("top_gram") == "x x")
+    assert(r3.getAs[Long]("top_gram_chars") == 12L)
+    assert(!r3.getAs[Boolean]("keep")) // top_gram_n > 2 AND dup_words 4/5
+    // empty/one-word docs: fold zero (0, '', 0), keep=true
+    val edge = TextStats.repetitionStats(
+        Seq((4L, ""), (5L, "solo")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(edge(4L).getAs[Long]("n_grams") == 0L)
+    assert(edge(4L).getAs[Long]("top_gram_n") == 0L)
+    assert(edge(4L).getAs[String]("top_gram") == "")
+    assert(edge(5L).getAs[Long]("n_grams") == 0L)
+    assert(edge(5L).getAs[Boolean]("keep"))
+  }
+
   test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
     val a = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)
     val b = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)

@@ -472,6 +472,45 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bfsDistances labels each node once with its minimum hop count") {
+    import spark.implicits._
+    // chain a-b-c-d-e plus a shortcut a-x-d (d is 3 hops via the chain but
+    // 2 via x — min must win), plus an isolated pair y-z (unreachable)
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "x"), ("x", "d"), ("y", "z"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("ent")
+    val got = GraphOps.bfsDistances(sym, seeds, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "x" -> 1L, "c" -> 2L,
+      "d" -> 2L, "e" -> 3L), got)
+    // depth cap: at maxDepth=1 only the immediate neighborhood is labeled
+    val d1 = GraphOps.bfsDistances(sym, seeds, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == Map("a" -> 0L, "b" -> 1L, "x" -> 1L), d1)
+    // multiple seeds: the closer seed decides the level
+    val got2 = GraphOps.bfsDistances(sym, Seq("a", "e").toDF("ent"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("d") == 1L && got2("c") == 2L && got2("e") == 0L, got2)
+    // early exit past the diameter: a huge cap costs nothing and the
+    // unreachable component stays absent
+    val full = GraphOps.bfsDistances(sym, seeds, 100).collect()
+      .map(r => r.getString(0)).toSet
+    assert(full == Set("a", "b", "c", "d", "e", "x"), full)
+  }
+
+  test("bfsDistances is deterministic under hostile repartitioning") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "x"), ("x", "d"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "d").toDF("ent")
+    val a = GraphOps.bfsDistances(sym.repartition(13), seeds.repartition(5), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = GraphOps.bfsDistances(sym.coalesce(1), seeds.coalesce(1), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("neighborSimilarity maxDegree cap drops hub neighbors from the sets") {
     import spark.implicits._
     // h is a hub neighbor of a,b,c,d, plus one a-b edge. Capped at
