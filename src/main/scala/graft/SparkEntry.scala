@@ -827,6 +827,17 @@ object SparkEntry {
         Dedup.clusterReps(minhashPairs(s, dir)))
       cleaned.select("doc_id", "predicted_lang", "n_words")
     }),
+    // the capstone plus the Gopher repetition stage — the full modern
+    // pretraining filter chain (quality -> langid -> exact-dup -> near-dup
+    // -> repetition). Twin recomposes the two already-hash-gated {OUT}
+    // dumps, so this gate checks the COMPOSITION, the established
+    // dedup_kept_docs pattern. Still one declarative plan: the repetition
+    // keep is scan-shaped and semi-joins the cleaned id set.
+    "corpus_clean_rep" -> ((s, dir) => {
+      val rep = TextStats.repetitionStats(tbl(s, dir, "documents"))
+        .filter(col("keep")).select("doc_id")
+      queries("corpus_clean")(s, dir).join(rep, Seq("doc_id"), "left_semi")
+    }),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
     // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
@@ -1390,6 +1401,11 @@ object SparkEntry {
             |FROM keepers k JOIN lang l USING (doc_id)
             |WHERE k.doc_id IN (SELECT doc_id FROM exact_reps)
             |  AND k.doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin),
+      "corpus_clean_rep" ->
+        """SELECT c.* FROM read_parquet('{OUT}/corpus_clean/*.parquet') c
+          |WHERE c.doc_id IN (SELECT doc_id
+          |                   FROM read_parquet('{OUT}/text_repetition/*.parquet')
+          |                   WHERE keep)""".stripMargin,
       "dedup_embed_cosine" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),

@@ -34,7 +34,12 @@ import graft.operators.GraphOps
   *  - GraphOps.kCore: peel rounds + wall at the same scale, an induced
   *    referee (recounting degrees over the original edges semi-joined on
   *    the core nodes must reproduce every core_deg), the k-invariant, and
-  *    the bit-exact hostile-repartitioning check (the k-core is unique).
+  *    the bit-exact hostile-repartitioning check (the k-core is unique);
+  *  - GraphOps.bfsDistances: frontier expansion from 3 hub seeds — wall,
+  *    reach, and the four BFS level axioms as exact referees (seeds at 0,
+  *    adjacent labels differ by <= 1, no labeled->unlabeled edge below the
+  *    depth cap, every d > 0 node has a d-1 neighbor), plus the bit-exact
+  *    hostile-repartitioning check (BFS levels are unique).
   *
   * Graph: `nEdges` undirected edges over `nNodes` nodes; endpoint draws
   * come from xxhash64 so the edge list is reproducible anywhere. The dst
@@ -286,7 +291,53 @@ object GraphBench {
     kcore.unpersist(false)
     und.unpersist(false)
 
-    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f,"kcore_k":$kcK,"kcore_sec":$tKc%.2f,"kcore_rounds":$kcRounds,"kcore_nodes":$kcNodes,"kcore_below_k":$kcBelowK,"kcore_induced_mismatches":$kcInducedMismatches,"kcore_bitexact_mismatches":$kcMismatches,"kcore_check_sec":$tKcCheck%.2f}""")
+    // ---- BFS distances at scale: frontier expansion from the 3 smallest
+    // node ids (hubs by construction — attachment skews to low ids, so the
+    // frontier floods fast). Referees are the BFS level AXIOMS, each an
+    // exact edge- or node-scale join:
+    //  (1) seeds sit at distance 0;
+    //  (2) no edge may join labels differing by more than 1;
+    //  (3) an edge from a node labeled d < maxDepth can never reach an
+    //      UNLABELED node (completeness — the frontier may only stop at
+    //      the depth cap);
+    //  (4) every node at d > 0 must have a neighbor at exactly d-1 (its
+    //      BFS parent);
+    //  (5) BFS levels are unique, so a hostile repartitioning must
+    //      reproduce every (ent, dist) bit-for-bit.
+    val bfsDepth = 8
+    val bfsSeeds = e.select(col("src").as("ent")).distinct()
+      .orderBy("ent").limit(3)
+    val (bfs, tBfs) = time {
+      val b = GraphOps.bfsDistances(e, bfsSeeds, bfsDepth).persist()
+      b.count(); b
+    }
+    val bfsReached = bfs.count()
+    val bfsMaxDist = bfs.agg(max("dist")).head.getLong(0)
+    val bfsSeedViol = bfs.join(bfsSeeds, "ent").filter(col("dist") =!= 0L).count()
+    val dSrc = bfs.select(col("ent").as("src"), col("dist").as("d_src"))
+    val dDst = bfs.select(col("ent").as("dst"), col("dist").as("d_dst"))
+    val lbl = e.join(dSrc, "src").join(dDst, Seq("dst"), "left").persist()
+    val bfsLevelViol = lbl.filter(col("d_dst").isNotNull &&
+      abs(col("d_src") - col("d_dst")) > 1).count()
+    val bfsCompleteViol = lbl.filter(col("d_dst").isNull &&
+      col("d_src") < bfsDepth).count()
+    val bfsWitnessViol = lbl.filter(col("d_dst").isNotNull)
+      .groupBy(col("dst").as("ent"), col("d_dst").as("d"))
+      .agg(min(col("d_src")).as("min_nbr"))
+      .filter(col("d") > 0 && col("min_nbr") =!= col("d") - 1).count()
+    lbl.unpersist(false)
+    val (bfsMismatches, tBfsCheck) = time {
+      val b2 = GraphOps.bfsDistances(e.repartition(7), bfsSeeds, bfsDepth)
+      val bad = bfs.join(b2.withColumnRenamed("dist", "d2"), Seq("ent"), "full")
+        .filter(col("dist").isNull || col("d2").isNull ||
+          col("dist") =!= col("d2")).count()
+      ConnectedComponents.releaseResult(b2)
+      bad
+    }
+    ConnectedComponents.releaseResult(bfs)
+    bfs.unpersist(false)
+
+    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f,"kcore_k":$kcK,"kcore_sec":$tKc%.2f,"kcore_rounds":$kcRounds,"kcore_nodes":$kcNodes,"kcore_below_k":$kcBelowK,"kcore_induced_mismatches":$kcInducedMismatches,"kcore_bitexact_mismatches":$kcMismatches,"kcore_check_sec":$tKcCheck%.2f,"bfs_depth":$bfsDepth,"bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached,"bfs_max_dist":$bfsMaxDist,"bfs_seed_violations":$bfsSeedViol,"bfs_level_violations":$bfsLevelViol,"bfs_complete_violations":$bfsCompleteViol,"bfs_witness_violations":$bfsWitnessViol,"bfs_bitexact_mismatches":$bfsMismatches,"bfs_check_sec":$tBfsCheck%.2f}""")
     spark.stop()
   }
 }
