@@ -610,6 +610,28 @@ object SparkEntry {
           min(Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("r_ts"))).as("min_lag_ms"),
           max(Timeseries.epochMs(col("ts")) - Timeseries.epochMs(col("r_ts"))).as("max_lag_ms"))
     }),
+    // the SAME interval join written as the NAIVE SQL a user would type —
+    // the RangeJoinRewrite optimizer rule (registered on the live session)
+    // rewrites it to the bucketed plan automatically; the twin is the same
+    // naive SQL in DuckDB, so this gate certifies the REWRITE preserves
+    // semantics exactly (firing is separately plan-gated in
+    // RangeJoinRewriteSpec)
+    "ev_range_join_sql" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.register(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_rjs")
+      s.sql("""
+        SELECT c.event_id, c.user_id, count(*) AS n_views,
+               min(unix_millis(CAST(c.ts AS TIMESTAMP)) - unix_millis(CAST(v.ts AS TIMESTAMP))) AS min_lag_ms,
+               max(unix_millis(CAST(c.ts AS TIMESTAMP)) - unix_millis(CAST(v.ts AS TIMESTAMP))) AS max_lag_ms
+        FROM (SELECT event_id, user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tus, ts
+              FROM events_rjs WHERE event_type = 'click') c
+        JOIN (SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tus, ts
+              FROM events_rjs WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND v.tus >= c.tus - 3600000000
+         AND v.tus <= c.tus
+        GROUP BY c.event_id, c.user_id""")
+    }),
     // gap sessionization (8h gap: the fixture's median per-user gap is
     // ~7.3h, so both continue and break branches carry real volume); the
     // per-session aggregate reuses the window's key exchange — one shuffle
@@ -1063,6 +1085,21 @@ object SparkEntry {
           "JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
           "ON l.user_id = r.user_id " +
           "AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts " +
+          "GROUP BY 1, 2"),
+      // the naive-SQL spelling the optimizer rule rewrites engine-side;
+      // here it IS the naive plan — micros-grain literal bounds, same
+      // window as ev_range_join
+      "ev_range_join_sql" ->
+        ("SELECT c.event_id, c.user_id, count(*) AS n_views, " +
+          "min(epoch_ms(c.ts) - epoch_ms(v.ts)) AS min_lag_ms, " +
+          "max(epoch_ms(c.ts) - epoch_ms(v.ts)) AS max_lag_ms " +
+          "FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, ts " +
+          "      FROM events WHERE event_type = 'click') c " +
+          "JOIN (SELECT user_id, epoch_us(ts) AS tus, ts " +
+          "      FROM events WHERE event_type = 'view') v " +
+          "ON c.user_id = v.user_id " +
+          "AND v.tus >= c.tus - 3600000000 " +
+          "AND v.tus <= c.tus " +
           "GROUP BY 1, 2"),
       "ev_hourly_rollup" ->
         ("SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, " +

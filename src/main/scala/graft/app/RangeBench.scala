@@ -10,7 +10,7 @@ import graft.operators.Timeseries
   * quadratic — while the bucketed spelling bounds fan-out by time locality
   * (rows per (key, bucket)), which is what survives 100 TB of clickstream.
   *
-  * Three measurements on a deterministic synthetic corpus (xxhash64 draws;
+  * Four measurements on a deterministic synthetic corpus (xxhash64 draws;
   * one planted hot user owning `hotRows` events, the rest uniform over
   * ~nEvents/100 users; timestamps uniform over 30 days; alternating
   * click/view):
@@ -24,7 +24,11 @@ import graft.operators.Timeseries
   *     (left exploded to <= 2 buckets). The ratio is the time-locality
   *     dividend — it GROWS with the hot key, which is the 100×-scale
   *     argument;
-  *  3. a 10× corpus (10× hot key) where the naive plan's predicted pair
+  *  3. the same naive SQL with the RangeJoinRewrite optimizer rule active
+  *     (registered only after the naive run): the rule must FIRE, match
+  *     the bucketed output exactly, and recover its wall — optimizer-
+  *     derived performance from user SQL;
+  *  4. a 10× corpus (10× hot key) where the naive plan's predicted pair
   *     enumeration is ~100× — bucketed only, wall + matched pairs.
   *
   * args: [cores] [nEvents] [hotRows] [windowMin]
@@ -102,6 +106,32 @@ object RangeBench {
     val nNaive = naive.count()
     val diffs = bucketed.exceptAll(naive).count() + naive.exceptAll(bucketed).count()
 
+    // ---- phase 1b: the SAME naive SQL a user would type, with the
+    // RangeJoinRewrite optimizer rule active — registered only AFTER the
+    // naive measurement above, so that one stayed naive. The rule must
+    // recover the hand-bucketed plan (fired gate) and its wall, and the
+    // output must be exactly the bucketed/naive result.
+    graft.plans.RangeJoinRewrite.register(spark)
+    clicks.createOrReplaceTempView("rb_clicks")
+    views.createOrReplaceTempView("rb_views")
+    val (ruled, tRuled) = time {
+      val r = spark.sql(s"""
+        SELECT c.event_id, c.user_id, count(*) AS n_views,
+               min(unix_millis(c.ts) - unix_millis(v.ts)) AS min_lag_ms,
+               max(unix_millis(c.ts) - unix_millis(v.ts)) AS max_lag_ms
+        FROM (SELECT event_id, user_id, unix_micros(ts) AS tus, ts FROM rb_clicks) c
+        JOIN (SELECT user_id, unix_micros(ts) AS tus, ts FROM rb_views) v
+          ON c.user_id = v.user_id
+         AND v.tus >= c.tus + ${lowerMs * 1000L} AND v.tus <= c.tus
+        GROUP BY c.event_id, c.user_id""").persist()
+      r.count(); r
+    }
+    val ruleFired = ruled.queryExecution.optimizedPlan.toString
+      .contains(graft.plans.RangeJoinRewrite.bucketName)
+    val ruledDiffs =
+      ruled.exceptAll(bucketed).count() + bucketed.exceptAll(ruled).count()
+    ruled.unpersist(false)
+
     // exact join-row accounting from the corpus itself
     val wUs = windowMin * 60000L * 1000L
     val ck = clicks.groupBy("user_id").agg(count(lit(1)).as("c"))
@@ -136,7 +166,7 @@ object RangeBench {
     }
     ev10.unpersist(false)
 
-    println(f"""{"n_events":$nEvents,"hot_rows":$hotRows,"window_min":$windowMin,"bucketed_sec":$tBucketed%.2f,"naive_sec":$tNaive%.2f,"bucketed_groups":$nBucketed,"naive_groups":$nNaive,"diffs":$diffs,"join_rows_naive":$naiveRows,"join_rows_bucketed":$bucketRows,"locality_ratio":${naiveRows.toDouble / bucketRows}%.1f,"n_events_10x":${nEvents * 10},"bucketed_10x_sec":$t10%.2f,"bucketed_10x_groups":$n10}""")
+    println(f"""{"n_events":$nEvents,"hot_rows":$hotRows,"window_min":$windowMin,"bucketed_sec":$tBucketed%.2f,"naive_sec":$tNaive%.2f,"ruled_sql_sec":$tRuled%.2f,"rule_fired":$ruleFired,"ruled_diffs":$ruledDiffs,"bucketed_groups":$nBucketed,"naive_groups":$nNaive,"diffs":$diffs,"join_rows_naive":$naiveRows,"join_rows_bucketed":$bucketRows,"locality_ratio":${naiveRows.toDouble / bucketRows}%.1f,"n_events_10x":${nEvents * 10},"bucketed_10x_sec":$t10%.2f,"bucketed_10x_groups":$n10}""")
     spark.stop()
   }
 }

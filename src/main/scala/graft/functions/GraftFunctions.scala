@@ -91,9 +91,13 @@ object GraftFunctions {
     functions.foreach(ext.injectFunction)
 }
 
-/** spark.sql.extensions entry point. */
+/** spark.sql.extensions entry point: the native scalar functions plus the
+  * interval-join optimizer rewrite. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 /** Shared shape of the two string-similarity expressions. */

@@ -151,6 +151,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(_k"), p.take(2000))
   }
 
+  test("ev_range_join_sql: the optimizer rule rewrites the naive SQL to the bucketed join") {
+    // the user writes a plain equi-key + BETWEEN interval join; the plan
+    // must carry the rule's bucket attribute in the join keys — proof the
+    // rewrite FIRED on the production query, not just the spec fixture
+    // (semantics are gated by the driver hash vs DuckDB's naive join)
+    val p = plan("ev_range_join_sql")
+    assert(p.contains(graft.plans.RangeJoinRewrite.bucketName),
+      s"RangeJoinRewrite did not fire:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("ev_sessions: the per-session aggregate reuses the window's key exchange") {
     // groupBy(user_id, session_idx) clusters a SUPERSET of the window's
     // partition key, so hashpartitioning(user_id) already satisfies it —
