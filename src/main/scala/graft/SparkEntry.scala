@@ -632,6 +632,22 @@ object SparkEntry {
          AND v.tus <= c.tus
         GROUP BY c.event_id, c.user_id""")
     }),
+    // the INTERVAL spelling over the raw NTZ timestamp column — the SQL a
+    // user actually types; the rule's timestamp path (TimestampAddInterval
+    // micros + explicit-zone NTZ cast) must preserve semantics exactly
+    "ev_range_join_sql_ts" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.register(s)
+      tbl(s, dir, "events").createOrReplaceTempView("events_rjt")
+      s.sql("""
+        SELECT c.event_id, c.user_id, count(*) AS n_views,
+               min(unix_millis(CAST(c.ts AS TIMESTAMP)) - unix_millis(CAST(v.ts AS TIMESTAMP))) AS min_lag_ms,
+               max(unix_millis(CAST(c.ts AS TIMESTAMP)) - unix_millis(CAST(v.ts AS TIMESTAMP))) AS max_lag_ms
+        FROM (SELECT event_id, user_id, ts FROM events_rjt WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts FROM events_rjt WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND v.ts BETWEEN c.ts - INTERVAL '1' HOUR AND c.ts
+        GROUP BY c.event_id, c.user_id""")
+    }),
     // gap sessionization (8h gap: the fixture's median per-user gap is
     // ~7.3h, so both continue and break branches carry real volume); the
     // per-session aggregate reuses the window's key exchange — one shuffle
@@ -1100,6 +1116,17 @@ object SparkEntry {
           "ON c.user_id = v.user_id " +
           "AND v.tus >= c.tus - 3600000000 " +
           "AND v.tus <= c.tus " +
+          "GROUP BY 1, 2"),
+      // the INTERVAL spelling (timestamp-domain rule path); DuckDB runs the
+      // same naive SQL natively
+      "ev_range_join_sql_ts" ->
+        ("SELECT c.event_id, c.user_id, count(*) AS n_views, " +
+          "min(epoch_ms(c.ts) - epoch_ms(v.ts)) AS min_lag_ms, " +
+          "max(epoch_ms(c.ts) - epoch_ms(v.ts)) AS max_lag_ms " +
+          "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
+          "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v " +
+          "ON c.user_id = v.user_id " +
+          "AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts " +
           "GROUP BY 1, 2"),
       "ev_hourly_rollup" ->
         ("SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms, " +

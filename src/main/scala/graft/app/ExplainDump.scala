@@ -17,7 +17,11 @@ object ExplainDump {
         "ann_brute_topk", "dedup_ngram_jaccard", "w2_topk_per_group",
         // kg_onehop: the pred filter must show as PartitionFilters on the
         // triples scan (pred is the partition column) + broadcast rehydrate
-        "kg_onehop")
+        "kg_onehop",
+        // the optimizer-rewritten naive interval join: the SMJ keys must
+        // include __graft_range_bucket (the rewrite fired) and no
+        // BroadcastNestedLoop may appear
+        "ev_range_join_sql_ts")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite naive SQL interval joins into the
   * bucketed range-join plan `Timeseries.rangeJoin` spells by hand.
@@ -39,9 +39,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Strict bounds (<, >) reuse the inclusive window — a superset is safe
   * because the original comparisons still filter exactly.
   *
-  * The rule intentionally fires only on LongType interval columns (epoch
-  * micros/millis, the lakehouse norm): TimestampType intervals analyze
-  * into TimeAdd trees whose literal extraction is a different grammar.
+  * Fires on LongType interval columns (epoch micros/millis, the lakehouse
+  * norm) AND on timestamp columns (LTZ and NTZ): `ts - INTERVAL '1' HOUR`
+  * reaches the optimizer constant-folded into
+  * TimestampAddInterval(ts, day-time literal) whose value is exactly
+  * micros, and buckets derive from unix_micros (NTZ through an
+  * explicit-zone cast) — monotone and exact, so the two-buckets-per-window
+  * guarantee is unchanged.
   * Idempotence: the rewritten join's bucket attributes carry a marker
   * name the eligibility check refuses, and the rule also stands down on
   * the `_b`/`_lus`/`_rus` internals of a hand-spelled rangeJoin.
@@ -73,22 +77,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** e as (attr, offset) over one LongType attribute: a, a + k, k + a,
-    * a - k (k literal). */
+  private def isTs(a: AttributeReference): Boolean =
+    a.dataType == TimestampType || a.dataType == TimestampNTZType
+
+  /** e as (attr, offset) over one LongType or timestamp attribute: a,
+    * a + k, k + a, a - k (k literal; raw units for longs, MICROSECONDS for
+    * timestamps — `ts - INTERVAL '1' HOUR` reaches the optimizer folded
+    * into TimestampAddInterval(ts, day-time literal), whose value IS
+    * micros). */
   private def term(e: Expression): Option[(AttributeReference, Long)] = e match {
-    case a: AttributeReference if a.dataType == LongType => Some((a, 0L))
+    case a: AttributeReference if a.dataType == LongType || isTs(a) => Some((a, 0L))
+    case ta: TimestampAddInterval =>
+      ta.children match {
+        case Seq(a: AttributeReference, Literal(us: Long, _: DayTimeIntervalType))
+            if isTs(a) => Some((a, us))
+        case _ => None
+      }
     case Add(x, y, _) =>
       (term(x), litLong(y)) match {
-        case (Some((a, o)), Some(v)) => Some((a, o + v))
+        case (Some((a, o)), Some(v)) if !isTs(a) => Some((a, o + v))
         case _ =>
           (litLong(x), term(y)) match {
-            case (Some(v), Some((a, o))) => Some((a, o + v))
+            case (Some(v), Some((a, o))) if !isTs(a) => Some((a, o + v))
             case _ => None
           }
       }
     case Subtract(x, y, _) =>
       (term(x), litLong(y)) match {
-        case (Some((a, o)), Some(v)) => Some((a, o - v))
+        case (Some((a, o)), Some(v)) if !isTs(a) => Some((a, o - v))
         case _ => None
       }
     case _ => None
@@ -148,14 +164,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val w = Literal(hi - lo, LongType)
       def floorDiv(x: Expression): Expression =
         new IntegralDivide(new Subtract(x, new Pmod(x, w)), w)
-      val rAlias = Alias(floorDiv(rts), bucketName)()
+      // bucket source: the attr itself for longs; exact epoch micros for
+      // timestamps (NTZ goes through an explicit-zone cast — a post-analysis
+      // Cast would otherwise be left zoneless and unresolved, the Sequence
+      // lesson). Monotone + exact, so the <= 2-buckets-per-window guarantee
+      // carries over unchanged.
+      def micros(a: AttributeReference): Expression =
+        if (!isTs(a)) a
+        else if (a.dataType == TimestampNTZType)
+          UnixMicros(Cast(a, TimestampType, Some(conf.sessionLocalTimeZone)))
+        else UnixMicros(a)
+      val rAlias = Alias(floorDiv(micros(rts)), bucketName)()
       val rightProj = Project(right.output :+ rAlias, right)
       // Sequence is TimeZoneAwareExpression: the analyzer's ResolveTimeZone
       // normally fills timeZoneId, but this rule runs post-analysis, so an
       // unset zone leaves the expression (and the whole plan) unresolved
       val gen = Explode(Sequence(
-        floorDiv(new Add(lts, Literal(lo, LongType))),
-        floorDiv(new Add(lts, Literal(hi, LongType))),
+        floorDiv(new Add(micros(lts), Literal(lo, LongType))),
+        floorDiv(new Add(micros(lts), Literal(hi, LongType))),
         None, Some(conf.sessionLocalTimeZone)))
       val f = gen.elementSchema.head
       val bl = AttributeReference(s"${bucketName}_l", f.dataType, f.nullable)()

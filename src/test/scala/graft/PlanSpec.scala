@@ -161,6 +161,11 @@ class PlanSpec extends AnyFunSuite {
       s"RangeJoinRewrite did not fire:\n${p.take(3000)}")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
+    // the INTERVAL spelling over the raw NTZ timestamp column fires too
+    // (TimestampAddInterval micros + explicit-zone cast path)
+    val pts = plan("ev_range_join_sql_ts")
+    assert(pts.contains(graft.plans.RangeJoinRewrite.bucketName),
+      s"RangeJoinRewrite did not fire on the INTERVAL spelling:\n${pts.take(3000)}")
   }
 
   test("ev_sessions: the per-session aggregate reuses the window's key exchange") {

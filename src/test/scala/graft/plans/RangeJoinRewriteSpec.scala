@@ -85,6 +85,36 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       .contains(RangeJoinRewrite.bucketName))
   }
 
+  test("timestamp INTERVAL spelling fires: LTZ and NTZ, brute-parity at micros grain") {
+    // tus values are MILLIS here; views at ms m land at micros m*1000, so
+    // the 100ms window maps to INTERVAL '0.1' SECOND exactly
+    import spark.implicits._
+    RangeJoinRewrite.register(spark)
+    clicks.map { case (e, u, t) => (e, u, new java.sql.Timestamp(t)) }
+      .toDF("event_id", "user_id", "ts").createOrReplaceTempView("clicks_ts")
+    views.map { case (u, t, v) => (u, new java.sql.Timestamp(t), v) }
+      .toDF("user_id", "ts", "value").createOrReplaceTempView("views_ts")
+    val sqlLtz =
+      """SELECT c.event_id, c.user_id, unix_millis(v.ts) AS v_ms
+        |FROM clicks_ts c JOIN views_ts v
+        |  ON c.user_id = v.user_id
+        | AND v.ts BETWEEN c.ts - INTERVAL '0.1' SECOND AND c.ts""".stripMargin
+    assert(run(sqlLtz) == brute.map { case (e, u, vt) => (e, u, vt) })
+    assert(spark.sql(sqlLtz).queryExecution.optimizedPlan.toString
+      .contains(RangeJoinRewrite.bucketName),
+      spark.sql(sqlLtz).queryExecution.optimizedPlan.toString.take(2000))
+    // NTZ columns (the parquet norm) go through the explicit-zone cast path
+    spark.sql("SELECT event_id, user_id, CAST(ts AS TIMESTAMP_NTZ) AS ts FROM clicks_ts")
+      .createOrReplaceTempView("clicks_ntz")
+    spark.sql("SELECT user_id, CAST(ts AS TIMESTAMP_NTZ) AS ts, value FROM views_ts")
+      .createOrReplaceTempView("views_ntz")
+    val sqlNtz = sqlLtz.replace("clicks_ts", "clicks_ntz").replace("views_ts", "views_ntz")
+      .replace("unix_millis(v.ts)", "unix_millis(CAST(v.ts AS TIMESTAMP))")
+    assert(run(sqlNtz) == brute.map { case (e, u, vt) => (e, u, vt) })
+    assert(spark.sql(sqlNtz).queryExecution.optimizedPlan.toString
+      .contains(RangeJoinRewrite.bucketName))
+  }
+
   test("stands down on single-sided bounds and on equi-only joins") {
     setup()
     RangeJoinRewrite.register(spark)
