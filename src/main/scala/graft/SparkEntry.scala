@@ -355,6 +355,14 @@ object SparkEntry {
     Synth.zhDocuments(zhDocCountFor(dir)).toDF("doc_id", "lang", "text")
   }
 
+  /** Planted-PII documents table (Synth.piiDocuments — deterministic,
+    * driver-sized; twins read the identical rows from the
+    * {ORA}/fixtures_pii_docs dump Verify writes). */
+  private def piiDocsTbl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Synth.piiDocuments(zhDocCountFor(dir)).toDF("doc_id", "text")
+  }
+
   /** Perturbed probe vectors planted from the corpus (vec_id%10==0):
     * probe = [v1+0.05, v2..v64], probe_id = vec_id+100000. Memoized +
     * persisted per (session, dir) like prepEmb. */
@@ -916,6 +924,10 @@ object SparkEntry {
     // the top bigram relationally (group + window) where the engine folds a
     // sorted array — two independent spellings of (count DESC, gram ASC)
     "text_repetition" -> ((s, dir) => TextStats.repetitionStats(tbl(s, dir, "documents"))),
+    // PII scrub over the planted fixture: counts + the redacted text itself
+    // are hashed (regexes shared verbatim with the RE2 twin, the cjkPattern
+    // discipline)
+    "text_pii_scrub" -> ((s, dir) => TextStats.piiScrub(piiDocsTbl(s, dir))),
     "text_winnow_fp" -> ((s, dir) => TextStats.winnowFingerprint(tbl(s, dir, "documents"))),
     // per-doc positional gram hashes — the {OUT} dump whose DuckDB windowed
     // re-derivation gates text_winnow_fp (rows-only itself: murmur is not in
@@ -1674,6 +1686,21 @@ object SparkEntry {
           |HAVING count(*) >= 3""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint FROM documents",
+      // PII scrub twin: identical regexes, identical email-first order, and
+      // the phone count taken over the email-redacted text, same as the
+      // engine
+      "text_pii_scrub" -> {
+        val em = graft.operators.TextOps.emailPattern
+        val ph = graft.operators.TextOps.phonePattern
+        s"""WITH d AS (SELECT doc_id, text,
+           |  regexp_replace(text, '$em', '<email>', 'g') AS no_email
+           |  FROM read_parquet('{ORA}/fixtures_pii_docs/*.parquet'))
+           |SELECT doc_id,
+           |  len(regexp_extract_all(text, '$em'))::BIGINT AS n_emails,
+           |  len(regexp_extract_all(no_email, '$ph'))::BIGINT AS n_phones,
+           |  regexp_replace(no_email, '$ph', '<phone>', 'g') AS redacted
+           |FROM d""".stripMargin
+      },
       // Gopher repetition filters: the relational spelling of the engine's
       // sorted-array fold — unnest bigrams, group, pick (count DESC, gram
       // ASC) rank 1 per doc. list_sum is NULL on empty lists and DuckDB

@@ -121,5 +121,9 @@ object Verify {
     // over these identical rows with DuckDB's RE2 CJK tokenizer)
     write("fixtures_zh_docs",
       Synth.zhDocuments(SparkEntry.zhDocCountFor(sfDir)).toDF("doc_id", "lang", "text"))
+    // planted-PII documents for the scrub twin (identical rows, RE2
+    // re-derivation of counts + redaction)
+    write("fixtures_pii_docs",
+      Synth.piiDocuments(SparkEntry.zhDocCountFor(sfDir)).toDF("doc_id", "text"))
   }
 }

@@ -339,6 +339,29 @@ object Synth {
     base ++ dups
   }
 
+  /** Transcript-ish documents with PLANTED PII (doc_id, text) for the
+    * scrub gate: every 3rd doc carries an email, every 4th a phone number
+    * (both formats vary deterministically), doc 0 mod 12 carries BOTH plus
+    * a second email — so the per-doc counts exercise 0, 1 and 2+ — and the
+    * rest are clean filler. All-lowercase so the shared regexes never meet
+    * a case difference between engines. Deterministic, own seed. */
+  def piiDocuments(nDocs: Int, seed: Long = 42L): Seq[(Long, String)] = {
+    val rnd = new Random(seed + 77)
+    (0 until nDocs).map { i =>
+      val words = (0 until 8 + rnd.nextInt(6))
+        .map(_ => fillerVocab(rnd.nextInt(fillerVocab.size)))
+      val sb = new StringBuilder(words.mkString(" "))
+      if (i % 3 == 0)
+        sb.append(s" contact agent$i@mail${i % 7}.example.com for details")
+      if (i % 4 == 1)
+        sb.append(if (i % 8 == 1) s" call +1 555-01${10 + i % 80} now"
+                  else s" reach us on 555 010 ${100 + i % 900}")
+      if (i % 12 == 0)
+        sb.append(s" escalate to ops-${i % 5}@example.org or +44 20 7946 0${100 + i % 900}")
+      (i.toLong, sb.toString)
+    }
+  }
+
   /** One conversation's turns — the shared generation body for the
     * sequential and distributed generators. `rnd` is consumed in a fixed
     * order, so the caller's seeding discipline alone decides the stream. */

@@ -42,6 +42,14 @@ object TextOps {
   def cjkTokens(text: Column): Column =
     regexp_extract_all(text, lit(cjkPattern), lit(0))
 
+  /** PII patterns shared VERBATIM with the DuckDB twins — plain character
+    * classes and greedy quantifiers only, identical semantics in
+    * java.util.regex and RE2 (no backrefs, no lookaround). The phone
+    * pattern needs >= 8 chars ending in a digit, so short in-text numbers
+    * never trip it. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
   private val cjkRe = java.util.regex.Pattern.compile(cjkPattern)
 
   /** JVM-side twin of `cjkTokens` for UDF paths (shingling). */

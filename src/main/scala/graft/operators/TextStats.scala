@@ -166,6 +166,28 @@ object TextStats {
         col("dup_words") * 100 <= col("n_words") * 55 && col("top_gram_n") <= 2)
   }
 
+  /** PII scrub — the redaction pass a transcripts-to-training-data
+    * pipeline runs before anything else leaves the trust boundary. Two
+    * detector classes (emails, phone-like digit runs) as regexes shared
+    * verbatim with the DuckDB twin (`TextOps.emailPattern` /
+    * `phonePattern` — plain classes + greedy quantifiers, identical in
+    * java.util.regex and RE2). Emails redact FIRST, and the phone count is
+    * taken over the email-redacted text, so digits inside an address are
+    * never double-counted as a phone. Scan-shaped: one narrow projection,
+    * no shuffle, no UDF. Returns per-doc counts + the redacted text (the
+    * gate hashes the actual redaction output, not just the counts). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(
+      col("text"), TextOps.emailPattern, "<email>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextOps.emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(TextOps.phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(noEmail, TextOps.phonePattern, "<phone>").as("redacted"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercased text
     * (exact-dup detection key, SQL-reproducible). */
   def contentFingerprint(docs: DataFrame): DataFrame =

@@ -252,6 +252,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge(5L).getAs[Boolean]("keep"))
   }
 
+  test("PII scrub: emails redact first, phone counts over email-redacted text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach agent7@mail3.example.com or call +1 555-0142 now"),
+      (2L, "two mails a@b.co and c.d+x@e-f.org here"),
+      (3L, "no pii at all in this row"),
+      (4L, "digits 123 and 45-67 are too short to be phones"),
+      (5L, "bare number 555 010 1234 stands alone")).toDF("doc_id", "text")
+    val out = TextStats.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[String]("redacted") ==
+      "reach <email> or call <phone> now")
+    assert(out(2L).getAs[Long]("n_emails") == 2L)
+    assert(out(2L).getAs[String]("redacted") == "two mails <email> and <email> here")
+    assert(out(3L).getAs[Long]("n_emails") == 0L && out(3L).getAs[Long]("n_phones") == 0L)
+    assert(out(3L).getAs[String]("redacted") == "no pii at all in this row")
+    assert(out(4L).getAs[Long]("n_phones") == 0L, out(4L).toString)
+    assert(out(5L).getAs[Long]("n_phones") == 1L)
+    assert(out(5L).getAs[String]("redacted") == "bare number <phone> stands alone")
+    // the planted fixture exercises 0, 1 and 2+ for both detector classes
+    val fx = TextStats.piiScrub(
+      graft.fixtures.Synth.piiDocuments(120).toDF("doc_id", "text")).collect()
+    assert(fx.exists(_.getAs[Long]("n_emails") == 0L))
+    assert(fx.exists(_.getAs[Long]("n_emails") == 1L))
+    assert(fx.exists(_.getAs[Long]("n_emails") >= 2L))
+    assert(fx.exists(_.getAs[Long]("n_phones") == 0L))
+    assert(fx.exists(_.getAs[Long]("n_phones") >= 1L))
+    assert(fx.exists(r => r.getAs[Long]("n_emails") > 0 && r.getAs[Long]("n_phones") > 0))
+  }
+
   test("winnowing fingerprints: deterministic, shift-tolerant overlap") {
     val a = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)
     val b = TextStats.winnowSelect("the quick brown fox jumps over the lazy dog", 8, 4)
