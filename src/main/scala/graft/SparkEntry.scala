@@ -719,6 +719,19 @@ object SparkEntry {
         p.select(col("entity_a").as("src"), col("entity_b").as("dst"))
           .unionByName(p.select(col("entity_b").as("src"), col("entity_a").as("dst"))), 3)
     }),
+    // WEIGHTED PageRank (3 iterations): rank flows in proportion to
+    // co-mention SUPPORT (n_turns) instead of splitting evenly — the
+    // centrality that distinguishes a 50-turn association from a
+    // single-turn one. (r*w) div wsum keeps every op int64 => the
+    // SQL-unrolled twin must agree bit-exactly.
+    "kg_pagerank_weighted" -> ((s, dir) => {
+      val p = comentionPairs(s, dir)
+      GraphOps.pageRankWeightedFp(
+        p.select(col("entity_a").as("src"), col("entity_b").as("dst"),
+            col("n_turns").as("w"))
+          .unionByName(p.select(col("entity_b").as("src"),
+            col("entity_a").as("dst"), col("n_turns").as("w"))), 3)
+    }),
     // PERSONALIZED PageRank (3 iterations) from the 3 lexicographically
     // smallest entities in the co-mention graph — proximity-to-seeds, the
     // "related to X" read. Same int64 fixed-point arithmetic, so the
@@ -1222,6 +1235,31 @@ object SparkEntry {
           |       FROM e JOIN d USING (src) JOIN r1 r ON r.ent = e.src GROUP BY e.dst),
           |r3 AS (SELECT e.dst AS ent,
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
+          |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      // weighted PageRank, 3 iterations unrolled: contributions scale by
+      // the co-mention support w over the src's weight total — all-integer
+      // ((r*w) // wsum), so equality is exact
+      "kg_pagerank_weighted" ->
+        ("""WITH m AS (
+          |  SELECT subj AS turn, obj AS ent
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |e AS (
+          |  SELECT a.ent AS src, b.ent AS dst, count(*) AS w
+          |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent
+          |  GROUP BY 1, 2),
+          |d AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+          |c AS (SELECT 1000000000000 // count(*) AS r0,
+          |             (15 * (1000000000000 // count(*))) // 100 AS tele FROM d),
+          |r0 AS (SELECT src AS ent, (SELECT r0 FROM c) AS rank FROM d),
+          |r1 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum((r.rank * e.w) // d.wsum)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r0 r ON r.ent = e.src GROUP BY e.dst),
+          |r2 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum((r.rank * e.w) // d.wsum)) // 100 AS rank
+          |       FROM e JOIN d USING (src) JOIN r1 r ON r.ent = e.src GROUP BY e.dst),
+          |r3 AS (SELECT e.dst AS ent,
+          |         (SELECT tele FROM c) + (85 * sum((r.rank * e.w) // d.wsum)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
       // k-core by 6 unrolled peel rounds (fixpoint at round 3 for this

@@ -11,6 +11,9 @@ import graft.operators.GraphOps
   *  - pageRankFp: per-iteration wall + the determinism claim checked the
   *    hard way — ranks under a hostile repartitioning must be BIT-EQUAL
   *    (fixed-point arithmetic makes that exact, not approximate);
+  *  - pageRankWeightedFp: hash-derived weights 1..20 — wall, the bit-exact
+  *    repartitioning check, and the at-scale equivalence referee (uniform
+  *    weights must reproduce pageRankFp's ranks bit-for-bit);
   *  - pageRankDirected: the dangling-mass general form on a directed
   *    variant with ~10% pure sinks — wall + exact mass conservation
   *    (total == scale minus bounded truncation loss);
@@ -112,6 +115,32 @@ object GraphBench {
       ranks.join(r2.withColumnRenamed("rank_fp", "r2"), "ent")
         .filter(col("rank_fp") =!= col("r2")).count()
     }
+
+    // ---- WEIGHTED PageRank: hash-derived per-edge weights 1..20 (wall +
+    // the bit-exact hostile-repartitioning check), plus the at-scale
+    // equivalence referee — with ALL weights 1, pageRankWeightedFp must
+    // reproduce the unweighted ranks above bit-for-bit ((r*w) div (w*deg)
+    // == r div deg at constant w; spec-pinned small, verified here at 19M
+    // edges).
+    val eW = e.withColumn("w",
+      pmod(xxhash64(col("src"), col("dst"), lit(7)), lit(20L)) + 1L).persist()
+    eW.count()
+    val (wRanks, tWRank) = time {
+      val r = GraphOps.pageRankWeightedFp(eW, iters).persist()
+      r.count(); r
+    }
+    val (wMismatches, tWCheck) = time {
+      val r2 = GraphOps.pageRankWeightedFp(eW.repartition(7), iters)
+      wRanks.join(r2.withColumnRenamed("rank_fp", "r2"), "ent")
+        .filter(col("rank_fp") =!= col("r2")).count()
+    }
+    val wUniformMismatches = {
+      val u = GraphOps.pageRankWeightedFp(e.withColumn("w", lit(1L)), iters)
+      ranks.join(u.withColumnRenamed("rank_fp", "ru"), "ent")
+        .filter(col("rank_fp") =!= col("ru")).count()
+    }
+    wRanks.unpersist(false)
+    eW.unpersist(false)
 
     // ---- DIRECTED PageRank with dangling mass: drop every out-edge of
     // nodes with id % 10 == 0 — they keep their in-edges and become pure
@@ -337,7 +366,7 @@ object GraphBench {
     ConnectedComponents.releaseResult(bfs)
     bfs.unpersist(false)
 
-    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f,"kcore_k":$kcK,"kcore_sec":$tKc%.2f,"kcore_rounds":$kcRounds,"kcore_nodes":$kcNodes,"kcore_below_k":$kcBelowK,"kcore_induced_mismatches":$kcInducedMismatches,"kcore_bitexact_mismatches":$kcMismatches,"kcore_check_sec":$tKcCheck%.2f,"bfs_depth":$bfsDepth,"bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached,"bfs_max_dist":$bfsMaxDist,"bfs_seed_violations":$bfsSeedViol,"bfs_level_violations":$bfsLevelViol,"bfs_complete_violations":$bfsCompleteViol,"bfs_witness_violations":$bfsWitnessViol,"bfs_bitexact_mismatches":$bfsMismatches,"bfs_check_sec":$tBfsCheck%.2f}""")
+    println(f"""{"nodes":$nNodesActual,"edges":$nE,"iters":$iters,"build_sec":$tBuild%.2f,"rank_sec":$tRank%.2f,"sec_per_iter":$perIter%.2f,"edge_joins_per_sec":$edgeJoinsPerSec%.0f,"mass_fp":$mass,"bitexact_mismatches":$mismatches,"check_sec":$tCheck%.2f,"wrank_sec":$tWRank%.2f,"wrank_bitexact_mismatches":$wMismatches,"wrank_check_sec":$tWCheck%.2f,"wrank_uniform_mismatches":$wUniformMismatches,"directed_edges":$nDirE,"directed_nodes":$dirNodes,"directed_sec":$tDir%.2f,"directed_mass_fp":$dirMass,"und_edges":$nUnd,"tri_sec":$tTri%.2f,"tri_total":$triTotal,"wedges_predicted":$wedgesPredicted,"tri_referee_nodes":$nRef,"tri_referee_cap":$refCap,"tri_referee_mismatches":$refMismatches,"sim_tau":$simTau,"sim_max_degree":$simCap,"sim_sec":$tSim%.2f,"sim_pairs":$nSim,"sim_referee_mismatches":$simMismatches,"cc_sec":$tCc%.2f,"cc_rounds":$ccRounds,"cc_components":$nComponents,"cc_edge_violations":$ccEdgeViolations,"cc_nonroot_labels":$ccNonRootLabels,"cc_bitexact_mismatches":$ccMismatches,"cc_check_sec":$tCcCheck%.2f,"kcore_k":$kcK,"kcore_sec":$tKc%.2f,"kcore_rounds":$kcRounds,"kcore_nodes":$kcNodes,"kcore_below_k":$kcBelowK,"kcore_induced_mismatches":$kcInducedMismatches,"kcore_bitexact_mismatches":$kcMismatches,"kcore_check_sec":$tKcCheck%.2f,"bfs_depth":$bfsDepth,"bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached,"bfs_max_dist":$bfsMaxDist,"bfs_seed_violations":$bfsSeedViol,"bfs_level_violations":$bfsLevelViol,"bfs_complete_violations":$bfsCompleteViol,"bfs_witness_violations":$bfsWitnessViol,"bfs_bitexact_mismatches":$bfsMismatches,"bfs_check_sec":$tBfsCheck%.2f}""")
     spark.stop()
   }
 }

@@ -459,6 +459,30 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(rep == core2)
   }
 
+  test("pageRankWeightedFp: uniform weights equal pageRankFp bit-for-bit; weights shift rank") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val w1 = sym.withColumn("w", lit(1L))
+    val plain = GraphOps.pageRankFp(sym, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val uniform = GraphOps.pageRankWeightedFp(w1, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uniform == plain) // (r*w) div (w*deg) == r div deg at constant w
+    // a heavy a-b edge pulls rank toward b relative to the uniform run
+    val heavy = sym.withColumn("w",
+      when(col("src").isin("a", "b") && col("dst").isin("a", "b"), lit(50L))
+        .otherwise(lit(1L)))
+    val skewed = GraphOps.pageRankWeightedFp(heavy, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(skewed("b") > uniform("b"), s"$skewed vs $uniform")
+    assert(skewed("d") < uniform("d"))
+    // determinism under hostile repartitioning
+    val rep = GraphOps.pageRankWeightedFp(heavy.repartition(13), 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rep == skewed)
+  }
+
   test("pageRankDirected is bit-identical across parallelism and repartitioning") {
     import spark.implicits._
     val directed = Seq(
