@@ -1746,9 +1746,9 @@ object SparkEntry {
       // ev_sessions lesson). Docs with < 2 words left-join to no top gram
       // -> (0, '', 0), the engine's fold-zero exactly.
       "text_repetition" ->
-        ("""WITH w AS (
+        (s"""WITH w AS (
           |  SELECT doc_id,
-          |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws,
+          |    list_filter(regexp_split_to_array(lower(text), '${graft.operators.TextOps.wsRunPattern}'), x -> x <> '') AS ws,
           |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
           |                x -> x <> '') AS ls
           |  FROM documents),

@@ -340,11 +340,12 @@ object Synth {
   }
 
   /** Transcript-ish documents with PLANTED PII (doc_id, text) for the
-    * scrub gate: every 3rd doc carries an email, every 4th a phone number
-    * (both formats vary deterministically), doc 0 mod 12 carries BOTH plus
-    * a second email — so the per-doc counts exercise 0, 1 and 2+ — and the
-    * rest are clean filler. All-lowercase so the shared regexes never meet
-    * a case difference between engines. Deterministic, own seed. */
+    * scrub gate: every 3rd doc carries an email — every OTHER one of those
+    * in MixedCase, so the (?i) detector path is exercised by the gate, not
+    * dodged — every 4th a phone number (both formats vary
+    * deterministically), doc 0 mod 12 carries BOTH plus a second email, so
+    * the per-doc counts exercise 0, 1 and 2+; the rest are clean filler.
+    * Deterministic, own seed. */
   def piiDocuments(nDocs: Int, seed: Long = 42L): Seq[(Long, String)] = {
     val rnd = new Random(seed + 77)
     (0 until nDocs).map { i =>
@@ -352,7 +353,8 @@ object Synth {
         .map(_ => fillerVocab(rnd.nextInt(fillerVocab.size)))
       val sb = new StringBuilder(words.mkString(" "))
       if (i % 3 == 0)
-        sb.append(s" contact agent$i@mail${i % 7}.example.com for details")
+        sb.append(if (i % 6 == 0) s" contact agent$i@mail${i % 7}.example.com for details"
+                  else s" contact Agent$i@Mail${i % 7}.Example.COM for details")
       if (i % 4 == 1)
         sb.append(if (i % 8 == 1) s" call +1 555-01${10 + i % 80} now"
                   else s" reach us on 555 010 ${100 + i % 900}")

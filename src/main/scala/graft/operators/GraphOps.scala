@@ -206,13 +206,11 @@ object GraphOps {
   def pageRankFp(edges: DataFrame, iterations: Int,
                  scale: Long = 1000000000000L,
                  checkpointEvery: Int = 4): DataFrame = {
-    import graft.pipeline.ConnectedComponents.releaseResult
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.count()
     require(n > 0, "pageRankFp: empty edge list")
     val r0 = scale / n
-    val tele = (15L * r0) / 100L
     // the LOOP INVARIANT, built once: (src, dst, deg) pre-partitioned on
     // src and checkpointed. Every iteration joins it with the node-sized
     // rank frame on src — the edge side never moves again (its
@@ -227,18 +225,32 @@ object GraphOps {
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
-    var ranks = deg.select(col("src").as("ent"), lit(r0).as("rank"))
-    // in-loop checkpoint generations: each new eager checkpoint severs the
-    // lineage reaching the previous one, so the superseded generation's
-    // MEMORY_AND_DISK blocks are freed IN-LOOP (DataFrame.unpersist is a
-    // no-op on checkpointed frames — same discipline as
-    // ConnectedComponents.runDistributed; long-lived drivers cycling
-    // kg_pagerank must not wait for RDD GC)
+    prFixpointLoop(eDeg, "rank div deg",
+      deg.select(col("src").as("ent"), lit(r0).as("rank")),
+      (15L * r0) / 100L, iterations, checkpointEvery)
+  }
+
+  /** The shared fixed-point loop under pageRankFp and pageRankWeightedFp:
+    * per iteration, join the checkpointed edge invariant `eInv` with the
+    * node-sized rank frame on src, emit `contrib` per edge, aggregate by
+    * dst, apply the tele + 85% step. In-loop checkpoint generations: each
+    * new eager checkpoint severs the lineage reaching the previous one, so
+    * the superseded generation's MEMORY_AND_DISK blocks are freed IN-LOOP
+    * (DataFrame.unpersist is a no-op on checkpointed frames — same
+    * discipline as ConnectedComponents.runDistributed; long-lived drivers
+    * cycling kg_pagerank must not wait for RDD GC). The final node-sized
+    * copy severs the result's lineage so `eInv` and the last in-loop
+    * generation are freed NOW rather than leak until RDD GC. */
+  private def prFixpointLoop(eInv: DataFrame, contrib: String,
+                             ranks0: DataFrame, tele: Long, iterations: Int,
+                             checkpointEvery: Int): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    var ranks = ranks0
     var liveCp: List[DataFrame] = Nil
     for (i <- 1 to iterations) {
-      val contribs = eDeg
+      val contribs = eInv
         .join(ranks.withColumnRenamed("ent", "src"), "src")
-        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
+        .select(col("dst").as("ent"), expr(contrib).as("c"))
       ranks = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
         .select(col("ent"), (lit(tele) + expr("(85 * s) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations) {
@@ -247,12 +259,10 @@ object GraphOps {
         liveCp = List(ranks)
       }
     }
-    // sever the result's lineage (node-sized copy) so eDeg and the last
-    // in-loop generation can be freed NOW rather than leak until RDD GC
     val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
       .localCheckpoint(true)
     liveCp.foreach(releaseResult)
-    releaseResult(eDeg)
+    releaseResult(eInv)
     out
   }
 
@@ -275,37 +285,19 @@ object GraphOps {
   def pageRankWeightedFp(edges: DataFrame, iterations: Int,
                          scale: Long = 1000000000000L,
                          checkpointEvery: Int = 4): DataFrame = {
-    import graft.pipeline.ConnectedComponents.releaseResult
     val e = edges.select(col("src"), col("dst"), col("w"))
     val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
     val n = wsum.count()
     require(n > 0, "pageRankWeightedFp: empty edge list")
     val r0 = scale / n
-    val tele = (15L * r0) / 100L
     val eW = e.join(wsum, "src")
       .select(col("src"), col("dst"), col("w"), col("wsum"))
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
-    var ranks = wsum.select(col("src").as("ent"), lit(r0).as("rank"))
-    var liveCp: List[DataFrame] = Nil
-    for (i <- 1 to iterations) {
-      val contribs = eW
-        .join(ranks.withColumnRenamed("ent", "src"), "src")
-        .select(col("dst").as("ent"), expr("(rank * w) div wsum").as("c"))
-      ranks = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
-        .select(col("ent"), (lit(tele) + expr("(85 * s) div 100")).as("rank"))
-      if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
-        liveCp.foreach(releaseResult)
-        liveCp = List(ranks)
-      }
-    }
-    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
-      .localCheckpoint(true)
-    liveCp.foreach(releaseResult)
-    releaseResult(eW)
-    out
+    prFixpointLoop(eW, "(rank * w) div wsum",
+      wsum.select(col("src").as("ent"), lit(r0).as("rank")),
+      (15L * r0) / 100L, iterations, checkpointEvery)
   }
 
   /** k-core decomposition by iterative peeling: repeatedly remove nodes of

@@ -44,11 +44,20 @@ object TextOps {
 
   /** PII patterns shared VERBATIM with the DuckDB twins — plain character
     * classes and greedy quantifiers only, identical semantics in
-    * java.util.regex and RE2 (no backrefs, no lookaround). The phone
-    * pattern needs >= 8 chars ending in a digit, so short in-text numbers
-    * never trip it. */
-  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * java.util.regex and RE2 (no backrefs, no lookaround). The email
+    * pattern is case-INsensitive ((?i), supported identically by both
+    * engines): real transcripts carry mixed-case addresses, and a
+    * redaction pass that misses John.Doe@Example.COM is not a redaction
+    * pass. The phone pattern needs >= 8 chars ending in a digit, so short
+    * in-text numbers never trip it. */
+  val emailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phonePattern = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  /** Whitespace-RUN tokenizer class shared VERBATIM with the DuckDB twins
+    * (repetition stats): an EXPLICIT class instead of \s because Java's \s
+    * includes vertical tab while RE2's does not — the one character the
+    * two engines disagree on. */
+  val wsRunPattern = "[ \\t\\n\\f\\r]+"
 
   private val cjkRe = java.util.regex.Pattern.compile(cjkPattern)
 

@@ -118,9 +118,11 @@ object TextStats {
     * exercised at sf0.01: 240/500 and 30/500 trip respectively). */
   def repetitionStats(docs: DataFrame): DataFrame = {
     // whitespace-RUN tokenization (not TextOps.words' single-space split):
-    // words must not span line breaks in a line-aware operator; '\s' is
-    // ASCII-compatible between Java and RE2, so the twin mirrors it exactly
-    val ws = filter(split(lower(col("text")), "\\s+", -1), w => w =!= lit(""))
+    // words must not span line breaks in a line-aware operator. The class
+    // is TextOps.wsRunPattern, shared VERBATIM with the twin (explicit
+    // class — Java's \s and RE2's \s disagree on vertical tab)
+    val ws = filter(split(lower(col("text")), TextOps.wsRunPattern, -1),
+      w => w =!= lit(""))
     val lines = filter(transform(split(col("text"), "\n", -1), l => trim(l)),
       l => l =!= lit(""))
     def charSum(arr: Column) =

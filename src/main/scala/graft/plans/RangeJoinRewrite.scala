@@ -165,14 +165,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       def floorDiv(x: Expression): Expression =
         new IntegralDivide(new Subtract(x, new Pmod(x, w)), w)
       // bucket source: the attr itself for longs; exact epoch micros for
-      // timestamps (NTZ goes through an explicit-zone cast — a post-analysis
-      // Cast would otherwise be left zoneless and unresolved, the Sequence
-      // lesson). Monotone + exact, so the <= 2-buckets-per-window guarantee
-      // carries over unchanged.
+      // LTZ timestamps. NTZ comparisons happen in the LOCAL domain, so the
+      // bucket must be the raw LOCAL micros: cast through the FIXED zone
+      // "UTC" (local value reinterpreted as a UTC instant => unix_micros IS
+      // the local micros). Casting through the SESSION zone instead would
+      // be monotone but not shift-invariant — across a DST fall-back the
+      // instant-domain gap between two local values exceeds their local
+      // gap, a window could straddle 3 buckets, and matching pairs would
+      // silently vanish. A fixed-offset zone is affine, so the
+      // <= 2-buckets-per-window guarantee carries over exactly. (The cast
+      // needs SOME explicit zone either way: a post-analysis Cast is
+      // otherwise left zoneless and unresolved, the Sequence lesson.)
       def micros(a: AttributeReference): Expression =
         if (!isTs(a)) a
         else if (a.dataType == TimestampNTZType)
-          UnixMicros(Cast(a, TimestampType, Some(conf.sessionLocalTimeZone)))
+          UnixMicros(Cast(a, TimestampType, Some("UTC")))
         else UnixMicros(a)
       val rAlias = Alias(floorDiv(micros(rts)), bucketName)()
       val rightProj = Project(right.output :+ rAlias, right)

@@ -259,7 +259,8 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "two mails a@b.co and c.d+x@e-f.org here"),
       (3L, "no pii at all in this row"),
       (4L, "digits 123 and 45-67 are too short to be phones"),
-      (5L, "bare number 555 010 1234 stands alone")).toDF("doc_id", "text")
+      (5L, "bare number 555 010 1234 stands alone"),
+      (6L, "escalate to John.Doe@Example.COM please")).toDF("doc_id", "text")
     val out = TextStats.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("n_emails") == 1L)
     assert(out(1L).getAs[Long]("n_phones") == 1L)
@@ -272,6 +273,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_phones") == 0L, out(4L).toString)
     assert(out(5L).getAs[Long]("n_phones") == 1L)
     assert(out(5L).getAs[String]("redacted") == "bare number <phone> stands alone")
+    // mixed-case addresses MUST redact — a case-sensitive detector is not
+    // a redaction pass
+    assert(out(6L).getAs[Long]("n_emails") == 1L)
+    assert(out(6L).getAs[String]("redacted") == "escalate to <email> please")
     // the planted fixture exercises 0, 1 and 2+ for both detector classes
     val fx = TextStats.piiScrub(
       graft.fixtures.Synth.piiDocuments(120).toDF("doc_id", "text")).collect()

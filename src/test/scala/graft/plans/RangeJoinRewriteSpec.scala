@@ -115,6 +115,34 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       .contains(RangeJoinRewrite.bucketName))
   }
 
+  test("NTZ buckets are shift-invariant: DST fall-back pairs survive in non-UTC sessions") {
+    // NTZ comparisons live in the LOCAL domain; bucketing through the
+    // SESSION zone is monotone but not shift-invariant — on the 2025-11-02
+    // America/New_York fall-back, local 01:45 -> 05:45Z (EDT) while local
+    // 02:30 -> 07:30Z (EST): a 45-minute local gap becomes 105 instant
+    // minutes, the 1-hour window straddles 3 buckets, and the pair is
+    // silently dropped. The fixed-"UTC" cast (local micros) keeps it.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      RangeJoinRewrite.register(spark)
+      spark.sql("""SELECT * FROM VALUES
+        (1, 1, TIMESTAMP_NTZ '2025-11-02 02:30:00') AS t(event_id, user_id, ts)""")
+        .createOrReplaceTempView("clicks_dst")
+      spark.sql("""SELECT * FROM VALUES
+        (1, TIMESTAMP_NTZ '2025-11-02 01:45:00', 1.0) AS t(user_id, ts, value)""")
+        .createOrReplaceTempView("views_dst")
+      val sql =
+        """SELECT c.event_id, v.ts FROM clicks_dst c JOIN views_dst v
+          |  ON c.user_id = v.user_id
+          | AND v.ts BETWEEN c.ts - INTERVAL '1' HOUR AND c.ts""".stripMargin
+      val out = spark.sql(sql)
+      assert(out.queryExecution.optimizedPlan.toString
+        .contains(RangeJoinRewrite.bucketName))
+      assert(out.count() == 1L, "DST fall-back pair must survive the bucket rewrite")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("stands down on single-sided bounds and on equi-only joins") {
     setup()
     RangeJoinRewrite.register(spark)
