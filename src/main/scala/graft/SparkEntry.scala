@@ -708,6 +708,13 @@ object SparkEntry {
         comentionPairs(s, dir))),
     "kg_twohop_type" -> ((s, dir) =>
       GraphOps.twoHopTypes(kg(s, dir).triples.select("subj", "pred", "obj"))),
+    // TransE-style filtered negative sampling (k=3) over the mention
+    // edges: the deterministic modular-residue corruption makes the
+    // training-data draw itself hash-gateable — md5 hex parse, 48271
+    // residue, and the filtered anti-join all have identical DuckDB
+    // spellings
+    "kg_negatives" -> ((s, dir) =>
+      GraphOps.negativeSamples(kg(s, dir).triples.select("subj", "pred", "obj"), 3)),
     // fixed-point PageRank (3 iterations) over the co-mention graph: every
     // op is int64, so the DuckDB twin — the same three iterations unrolled
     // as SQL over the golden-oracle triples — must agree BIT-EXACTLY, not
@@ -1237,6 +1244,30 @@ object SparkEntry {
           |         (SELECT tele FROM c) + (85 * sum(r.rank // d.deg)) // 100 AS rank
           |       FROM e JOIN d USING (src) JOIN r2 r ON r.ent = e.src GROUP BY e.dst)
           |SELECT ent, CAST(rank AS BIGINT) AS rank_fp FROM r3""").stripMargin,
+      // filtered negative sampling: identical md5-hex residue arithmetic
+      // ('0x' || hex-substr casts to BIGINT in DuckDB; conv(,16,10) in
+      // Spark), identical dense entity indexing (row_number over ent ASC),
+      // identical filtered setting (self + existing-positive corruptions
+      // dropped)
+      "kg_negatives" ->
+        ("""WITH pos AS (
+          |  SELECT subj, obj
+          |  FROM read_parquet('{ORA}/kg_triples/*.parquet') WHERE pred = 'mentions'),
+          |ents AS (SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS eidx
+          |         FROM (SELECT DISTINCT obj AS ent FROM pos)),
+          |nn AS (SELECT count(*) AS n FROM ents),
+          |w AS (SELECT subj, obj,
+          |        CAST('0x' || substr(md5(subj || '|' || obj), 1, 10) AS BIGINT) AS hkey
+          |      FROM pos),
+          |jj AS (SELECT subj, obj, hkey, unnest(generate_series(1, 3)) AS j FROM w),
+          |c AS (SELECT subj, obj, CAST(j AS BIGINT) AS j,
+          |        (hkey * 48271 + j * 1009) % (SELECT n FROM nn) AS nidx
+          |      FROM jj)
+          |SELECT c.subj, c.obj, c.j, e.ent AS obj_neg
+          |FROM c JOIN ents e ON e.eidx = c.nidx
+          |WHERE e.ent <> c.obj
+          |  AND NOT EXISTS (SELECT 1 FROM pos p
+          |                  WHERE p.subj = c.subj AND p.obj = e.ent)""").stripMargin,
       // weighted PageRank, 3 iterations unrolled: contributions scale by
       // the co-mention support w over the src's weight total — all-integer
       // ((r*w) // wsum), so equality is exact

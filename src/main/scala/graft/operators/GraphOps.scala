@@ -502,6 +502,45 @@ object GraphOps {
     out
   }
 
+  /** TransE-style NEGATIVE SAMPLING over the mention graph — the
+    * training-data op a KG-embedding pipeline runs on every epoch's
+    * positives: for each (turn, entity) mention edge, `k` corrupted tails
+    * drawn DETERMINISTICALLY from the entity pool, in the FILTERED setting
+    * (a corruption that is itself a positive, or equals the true tail, is
+    * dropped — the standard evaluation protocol, Bordes et al. 2013).
+    *
+    * Determinism is the whole design: the j-th corruption of a positive is
+    * entity[(h(subj|obj) * 48271 + j * 1009) mod N] where h is the first
+    * 10 hex chars of md5 (40 bits, so the 48271 product stays far inside
+    * int64 under ANSI) — the same multiplicative-residue discipline as
+    * `Corpus.hashSplit`, and every piece (md5, hex parse, mod) has an
+    * identical DuckDB spelling, so the gate is hash-exact.
+    *
+    * Plan shape at 100 TB: the positives are a scan; the entity pool is
+    * dictionary-sized by construction (it IS the entity dictionary), so
+    * its global row_number window and the nidx lookup both stay broadcast;
+    * the filtered-setting anti-join is the one positives-sized exchange.
+    * Returns (subj, obj, j, obj_neg). */
+  def negativeSamples(triples: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = triples.filter(col("pred") === "mentions").select("subj", "obj")
+    val ents = pos.select(col("obj").as("ent")).distinct()
+      .withColumn("eidx", row_number().over(Window.orderBy("ent")).cast("long") - 1L)
+    val n = ents.count()
+    require(n > 1, s"negativeSamples: need >= 2 entities, got $n")
+    val hkey = conv(substring(md5(concat(col("subj"), lit("|"), col("obj"))), 1, 10),
+      16, 10).cast("long")
+    pos.withColumn("hkey", hkey)
+      .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("nidx", pmod(col("hkey") * 48271L + col("j") * 1009L, lit(n)))
+      .join(broadcast(ents), col("nidx") === col("eidx"))
+      .select(col("subj"), col("obj"), col("j"), col("ent").as("obj_neg"))
+      .filter(col("obj_neg") =!= col("obj"))
+      .join(pos.select(col("subj"), col("obj").as("obj_neg")),
+        Seq("subj", "obj_neg"), "left_anti")
+      .select("subj", "obj", "j", "obj_neg")
+  }
+
   /** BFS hop distances from a seed set — the "how far is every entity from
     * X" KG read (multi-hop reachability with the hop count kept, where
     * `kg_onehop` stops at one hop and PageRank forgets distance entirely).

@@ -496,6 +496,30 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("negativeSamples: deterministic filtered corruptions from the entity pool") {
+    import spark.implicits._
+    val triples = Seq(
+      ("t1", "mentions", "a"), ("t1", "mentions", "b"),
+      ("t2", "mentions", "a"), ("t2", "mentions", "c"),
+      ("t1", "alias", "zz")).toDF("subj", "pred", "obj")
+    val out = GraphOps.negativeSamples(triples, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    val pos = Set(("t1", "a"), ("t1", "b"), ("t2", "a"), ("t2", "c"))
+    assert(out.nonEmpty)
+    out.foreach { case (s, o, j, neg) =>
+      assert(Set("a", "b", "c")(neg), s"corruption outside the pool: $neg")
+      assert(neg != o, "self-corruption must be filtered")
+      assert(!pos((s, neg)), "existing positives must be filtered (filtered setting)")
+      assert(j == 1L || j == 2L)
+    }
+    // non-mention predicates contribute neither positives nor pool entries
+    assert(!out.exists(t => t._4 == "zz" || t._2 == "zz"))
+    // deterministic under hostile repartitioning
+    val out2 = GraphOps.negativeSamples(triples.repartition(7), 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out.sorted == out2.sorted)
+  }
+
   test("bfsDistances labels each node once with its minimum hop count") {
     import spark.implicits._
     // chain a-b-c-d-e plus a shortcut a-x-d (d is 3 hops via the chain but
