@@ -40,7 +40,15 @@ import org.apache.spark.sql.SparkSession
   * the SAME pre-materialized persisted shingle-set frame (memo_state
   * "sets_persisted_warm" in the JSON), run ALTERNATING exhaustive/LSH for
   * `SPARK_GRAFT_HEAVY_RUNS` (default 3) rounds, and the speedup is the
-  * ratio of MEDIANS with every per-run time reported alongside.
+  * ratio of MEDIANS with every per-run time reported alongside. Round-7
+  * protocol: the scaling section's contention-acceptance rule applies here
+  * too — a round ships only if both paths' min-max spreads are < 1.5x,
+  * wider rounds are kept as provenance and re-measured (<= 2 retries), a
+  * never-settling metric ships flagged "contended", and loadavg is stamped
+  * per alternating pair. The per-query sweep likewise records a loadavg
+  * stamp per query ("query_load_1m" in the full document, [min, med, max]
+  * as "q_load" in the compact line) so unchanged-query wall deltas are
+  * attributable to VM contention rather than argued from plausibility.
   *
   * Query failures are NOT swallowed: they surface in an "errors" object and
   * on stderr (a broken query must never read as a fast success).
@@ -138,9 +146,22 @@ object Bench {
       spark.stop(); return
     }
 
+    // shared contention-evidence machinery (r6 directive: the acceptance
+    // protocol that fixed scaling_tps now also covers dedup_heavy, and the
+    // per-query sweep carries a loadavg stamp so a wall-time delta on an
+    // unchanged query is attributable to VM contention after the fact
+    // instead of riding on "probably contention")
+    val SPREAD_MAX = 1.5
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val retries = scala.collection.mutable.LinkedHashMap[String, String]()
+    val queryLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queryLoads(name) = loadavg()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -189,27 +210,69 @@ object Bench {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
       // evidence protocol (scaladoc): shared warm input, alternating runs,
-      // medians — per-run times all reported so variance is auditable
+      // medians — per-run times all reported so variance is auditable.
+      // r6 directive: the scaling section's contention-acceptance rule now
+      // covers this metric too (its artifact draws were the one place VM
+      // contention could still ship unreadably — 1.74x in BENCH_r06 vs a
+      // 2.15-2.38x clean band). A ROUND of alternating runs is accepted
+      // only if BOTH paths' min-max spreads are under SPREAD_MAX; a wider
+      // round is kept as provenance and re-measured (up to 2 extra rounds);
+      // if none settles, the tightest ships flagged "contended": true.
+      // loadavg is sampled before every alternating pair.
       val heavyRuns = sys.env.getOrElse("SPARK_GRAFT_HEAVY_RUNS", "3").toInt
-      var nEx = -1L; var nLsh = -1L
-      val exT = scala.collection.mutable.ArrayBuffer[Double]()
-      val lshT = scala.collection.mutable.ArrayBuffer[Double]()
-      (1 to heavyRuns).foreach { _ =>
-        val (ne, te) = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
-        nEx = ne; exT += te
-        var cand: Option[org.apache.spark.sql.DataFrame] = None
-        val (nl, tl) = t1(graft.operators.Dedup
-          .minhashLsh(bs, 0.6, 64, 16, onCache = c => { cand = Some(c); lshCand = Some(c) })
-          .count())
-        nLsh = nl; lshT += tl
-        cand.foreach(_.unpersist(false)) // each round re-derives its own candidates
+      final case class HeavyRound(ex: Seq[Double], lsh: Seq[Double],
+                                  loads: Seq[Double], nEx: Long, nLsh: Long) {
+        private def sp(xs: Seq[Double]): Double =
+          if (xs.isEmpty) -1.0 else xs.max / xs.min
+        def exSpread: Double = sp(ex)
+        def lshSpread: Double = sp(lsh)
+        def spread: Double = math.max(exSpread, lshSpread)
+        def clean: Boolean =
+          ex.size >= 2 && lsh.size >= 2 && spread <= SPREAD_MAX
       }
-      val (mEx, mLsh) = (median(exT.toSeq), median(lshT.toSeq))
+      def oneHeavyRound(): HeavyRound = {
+        var nEx = -1L; var nLsh = -1L
+        val exT = scala.collection.mutable.ArrayBuffer[Double]()
+        val lshT = scala.collection.mutable.ArrayBuffer[Double]()
+        val loads = scala.collection.mutable.ArrayBuffer[Double]()
+        (1 to heavyRuns).foreach { _ =>
+          loads += loadavg()
+          val (ne, te) = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
+          nEx = ne; exT += te
+          var cand: Option[org.apache.spark.sql.DataFrame] = None
+          val (nl, tl) = t1(graft.operators.Dedup
+            .minhashLsh(bs, 0.6, 64, 16, onCache = c => { cand = Some(c); lshCand = Some(c) })
+            .count())
+          nLsh = nl; lshT += tl
+          cand.foreach(_.unpersist(false)) // each run re-derives its own candidates
+        }
+        HeavyRound(exT.toSeq, lshT.toSeq, loads.toSeq, nEx, nLsh)
+      }
+      var hRounds = List(oneHeavyRound())
+      while (!hRounds.head.clean && hRounds.size <= 2) {
+        System.err.println(f"[bench] dedup_heavy spread ${hRounds.head.spread}%.2fx" +
+          f" > $SPREAD_MAX — contended round, re-measuring")
+        hRounds = oneHeavyRound() :: hRounds
+      }
+      val hBest = hRounds
+        .sortBy(r => if (r.ex.size < 2 || r.lsh.size < 2) Double.MaxValue else r.spread)
+        .head
+      val hContended = !hBest.clean
+      val (mEx, mLsh) = (median(hBest.ex), median(hBest.lsh))
+      val (nEx, nLsh) = (hBest.nEx, hBest.nLsh)
       def runsJson(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
-      heavyJson = f"""{"set_rows":$nBoiler,"memo_state":"sets_persisted_warm","runs":$heavyRuns,"exhaustive_sec":$mEx%.3f,"lsh_sec":$mLsh%.3f,"ex_runs":${runsJson(exT.toSeq)},"lsh_runs":${runsJson(lshT.toSeq)},"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${mEx / mLsh}%.3f,"equal":${nEx == nLsh}}"""
+      val hDisc = hRounds.filterNot(_ eq hBest) match {
+        case Nil => ""
+        case ds => ","+"\"discarded_rounds\":" + ds.map(d =>
+          f"""{"ex_sec":${median(d.ex)}%.2f,"lsh_sec":${median(d.lsh)}%.2f,"spread":${d.spread}%.2f,"load_1m":${runsJson(d.loads)}}"""
+        ).mkString("[", ",", "]")
+      }
+      heavyJson = f"""{"set_rows":$nBoiler,"memo_state":"sets_persisted_warm","runs":$heavyRuns,"exhaustive_sec":$mEx%.3f,"lsh_sec":$mLsh%.3f,"ex_runs":${runsJson(hBest.ex)},"lsh_runs":${runsJson(hBest.lsh)},"ex_spread":${hBest.exSpread}%.2f,"lsh_spread":${hBest.lshSpread}%.2f,"contended":$hContended,"load_1m":${runsJson(hBest.loads)},"exhaustive_pairs":$nEx,"lsh_pairs":$nLsh,"lsh_speedup":${mEx / mLsh}%.3f,"equal":${nEx == nLsh}$hDisc}"""
       // abbreviated keys: the compact line's budget is the driver tail (the
-      // full names live in the file document above)
-      heavyCompact = f"""{"memo":"warm_sets","ex":$mEx%.2f,"lsh":$mLsh%.2f,"x":${mEx / mLsh}%.2f,"equal":${nEx == nLsh}}"""
+      // full names live in the file document above); contention surfaces
+      // compactly only when present
+      val hContPart = if (hContended) ""","cont":true""" else ""
+      heavyCompact = f"""{"memo":"warm_sets","ex":$mEx%.2f,"lsh":$mLsh%.2f,"x":${mEx / mLsh}%.2f,"equal":${nEx == nLsh}$hContPart}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] dedup_heavy FAILED: ${e.getMessage}")
       errors("dedup_heavy") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -269,12 +332,9 @@ object Bench {
     // and re-measured, up to 2 extra rounds. If every round is wide, the
     // tightest one is used and the core count is flagged "contended": true.
     // /proc/loadavg (1-min field) is sampled before every run so a
-    // contaminated draw is attributable after the fact.
-    val SPREAD_MAX = 1.5
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // contaminated draw is attributable after the fact. (SPREAD_MAX and
+    // loadavg() are hoisted above the query sweep — shared with
+    // dedup_heavy and the per-query load stamps.)
     val scalingCores = Seq(1, 4, 8, 32)
     final case class ScaleRound(runs: Seq[Double], loads: Seq[Double]) {
       def spread: Double = if (runs.isEmpty) -1.0 else runs.max / runs.min
@@ -321,17 +381,28 @@ object Bench {
         }
         ScaleRound(runs, loads.toSeq)
       }
+      // acceptance needs BOTH a tight spread AND >= 2 surviving runs: a
+      // round where all but one run failed has spread 1.0 by construction
+      // and must not outrank real multi-run rounds (its "median" is a
+      // single draw — the weakest possible evidence, not the tightest)
+      def clean(r: ScaleRound): Boolean =
+        r.runs.size >= 2 && r.spread <= SPREAD_MAX
       var rounds = List(oneRound(1))
-      while (rounds.head.runs.nonEmpty && rounds.head.spread > SPREAD_MAX
+      while (rounds.head.runs.nonEmpty && !clean(rounds.head)
           && rounds.size <= 2) {
         System.err.println(f"[bench] scaling local[$c] spread " +
-          f"${rounds.head.spread}%.2fx > $SPREAD_MAX — contended round, re-measuring")
+          f"${rounds.head.spread}%.2fx (runs=${rounds.head.runs.size}) " +
+          f"not clean — contended/degraded round, re-measuring")
         rounds = oneRound(rounds.size + 1) :: rounds
       }
-      val best = rounds.filter(_.runs.nonEmpty).sortBy(_.spread).headOption
+      // single-run rounds sort behind every multi-run round regardless of
+      // their degenerate 1.0 spread
+      val best = rounds.filter(_.runs.nonEmpty)
+        .sortBy(r => if (r.runs.size < 2) Double.MaxValue else r.spread)
+        .headOption
       best.foreach { b =>
         scaling(c) = b
-        if (b.spread > SPREAD_MAX) scalingContended += c
+        if (!clean(b)) scalingContended += c
         val discarded = rounds.filter(_.runs.nonEmpty).filterNot(_ eq b)
         if (discarded.nonEmpty) scalingDiscarded(c) = discarded
       }
@@ -350,6 +421,13 @@ object Bench {
     // 3-decimal query times in the FULL document: sub-ms precision is noise
     // here, and the full Double repr doubled the JSON line's size
     val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // the per-query loadavg stamps (sampled immediately before each query)
+    // and their [min, median, max] summary for the compact line
+    val qLoadMap = queryLoads.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val qLoadVals = queryLoads.values.toSeq.sorted
+    val qLoadSummary =
+      if (qLoadVals.isEmpty) "[]"
+      else f"[${qLoadVals.min}%.1f,${median(qLoadVals)}%.1f,${qLoadVals.max}%.1f]"
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val retryJson = retries.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     def loadsJson(ls: Seq[Double]) = ls.map(l => f"$l%.2f").mkString("[", ",", "]")
@@ -363,7 +441,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = kgCold + results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_load_1m":$qLoadMap,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"n_retries":${retries.size},"retries":$retryJson,"kg_triples":$nTriples,"kg_wall_cold_sec":$kgCold%.3f,"kg_wall_warm_sec":$kgWarm%.3f,"kg_triples_per_sec":${nTriples / kgWarm}%.1f,"kg_triples_per_sec_cold":${nTriples / kgCold}%.1f,"dedup_heavy":$heavyJson,"scaling_turns":${scaleSpec.nConv * scaleSpec.turnsPerConv},"scaling_tps":$scalingJson,"scaling_efficiency_1_4":${eff(1, 4)}%.3f,"scaling_efficiency_8_32":${eff(8, 32)}%.3f}"""
     // full document: printed first (humans, logs) and written to the file
     // (the durable machine-readable copy)
     println(json)
@@ -393,7 +471,7 @@ object Bench {
     def compactLine(qEntries: Seq[(String, Double)], omitted: Int): String = {
       val qsC = qEntries.map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
       val omitPart = if (omitted == 0) "" else s""","q_omitted":$omitted"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC$omitPart,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC$contendedPart,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsC$omitPart,"q_load":$qLoadSummary,"sf":"$sfDir","n_errors":${errors.size}$errPart,"kg_triples":$nTriples,"kg_cold":$kgCold%.2f,"kg_warm":$kgWarm%.2f,"kg_tps":${nTriples / kgWarm}%.0f,"dedup_heavy":$heavyCompact,"scaling_tps":$scalingC$contendedPart,"eff_1_4":${eff(1, 4)}%.3f,"eff_8_32":${eff(8, 32)}%.3f}"""
     }
     // the query set has outgrown a full per-query listing (69+ names at 2
     // decimals is ~2020 chars alone), so the compact line lists the SLOWEST

@@ -1297,7 +1297,11 @@ object SparkEntry {
       // corpus; extra rounds are no-ops because peeling is idempotent past
       // convergence) — each round keeps edges whose BOTH endpoints had
       // degree >= 4 in the previous round, the same simultaneous semantics
-      // the engine loop implements
+      // the engine loop implements. The twin ASSERTS its own unroll depth
+      // sufficed: peeling only removes edges, so |e5| == |e6| iff the
+      // fixpoint was reached within the unroll — if not, a poison row
+      // makes the gate fail READABLY as a twin-depth limit, not as a
+      // mysterious engine diff.
       "kg_kcore" -> {
         val peel = (1 to 6).map { i =>
           s"""e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
@@ -1311,7 +1315,10 @@ object SparkEntry {
            |  SELECT DISTINCT a.ent AS src, b.ent AS dst
            |  FROM m a JOIN m b ON a.turn = b.turn AND a.ent <> b.ent),
            |$peel
-           |SELECT src AS ent, count(*) AS core_deg FROM e6 GROUP BY 1""".stripMargin
+           |SELECT src AS ent, count(*) AS core_deg FROM e6 GROUP BY 1
+           |UNION ALL
+           |SELECT 'TWIN_UNROLL_TOO_SHALLOW_NOT_CONVERGED', -1::BIGINT
+           |WHERE (SELECT count(*) FROM e5) <> (SELECT count(*) FROM e6)""".stripMargin
       },
       // BFS distances by recursive CTE: UNION (not UNION ALL) bounds the
       // walk state at nodes x depths, and min(dist) over all <=4-hop walks

@@ -520,14 +520,28 @@ object GraphOps {
     * dictionary-sized by construction (it IS the entity dictionary), so
     * its global row_number window and the nidx lookup both stay broadcast;
     * the filtered-setting anti-join is the one positives-sized exchange.
+    *
+    * `maxPool` is the LOUD-FAILURE guard for that construction: the dense
+    * entity index is a GLOBAL unpartitioned window, which is a single-task
+    * sort if the distinct-tail pool ever outgrows driver/broadcast scale.
+    * The function accepts any triple frame, so a caller feeding general
+    * positives (unbounded tail domain) must not silently serialize — the
+    * pool count is already materialized for the modulus, so the guard is
+    * free, and it fails with the fix spelled out rather than degrading.
     * Returns (subj, obj, j, obj_neg). */
-  def negativeSamples(triples: DataFrame, k: Int): DataFrame = {
+  def negativeSamples(triples: DataFrame, k: Int,
+                      maxPool: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = triples.filter(col("pred") === "mentions").select("subj", "obj")
     val ents = pos.select(col("obj").as("ent")).distinct()
       .withColumn("eidx", row_number().over(Window.orderBy("ent")).cast("long") - 1L)
     val n = ents.count()
     require(n > 1, s"negativeSamples: need >= 2 entities, got $n")
+    require(n <= maxPool,
+      s"negativeSamples: entity pool has $n distinct tails > maxPool=$maxPool. " +
+        "The dense index is a global window + broadcast lookup — correct only " +
+        "for a dictionary-sized pool. For an unbounded tail domain, pre-restrict " +
+        "the pool (or raise maxPool deliberately with the memory math done).")
     val hkey = conv(substring(md5(concat(col("subj"), lit("|"), col("obj"))), 1, 10),
       16, 10).cast("long")
     pos.withColumn("hkey", hkey)

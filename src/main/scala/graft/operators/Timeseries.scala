@@ -131,10 +131,21 @@ object Timeseries {
                 payloadCols: Seq[String]): DataFrame = {
     require(upperMs > lowerMs,
       s"rangeJoin: empty window [$lowerMs, $upperMs]")
+    val leftCols = left.columns.toSeq
+    // internal / output name collisions corrupt silently (withColumn
+    // overwrites; a left column named like a renamed right payload makes
+    // the final select ambiguous) — fail loud instead. The rewrite rule
+    // guards its own path; the operator must too.
+    Seq("_lus", "_b").foreach(nm => require(!leftCols.contains(nm),
+      s"rangeJoin: left already has internal column '$nm'"))
+    Seq("_rk", "_rus", "_b").foreach(nm => require(!right.columns.contains(nm),
+      s"rangeJoin: right already has internal column '$nm'"))
+    (tsCol +: payloadCols).map(c => s"r_$c").foreach(nm =>
+      require(!leftCols.contains(nm),
+        s"rangeJoin: left column '$nm' collides with a renamed right payload"))
     val wUs = (upperMs - lowerMs) * 1000L
     val loUs = lowerMs * 1000L
     val hiUs = upperMs * 1000L
-    val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_lus", epochUs(col(tsCol)))
       .withColumn("_b", explode(sequence(

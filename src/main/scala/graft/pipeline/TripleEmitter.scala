@@ -197,19 +197,29 @@ object TripleEmitter {
     *      format (Iceberg replace-partitions) does transactionally; renames
     *      are metadata-only on any real FS.
     *
-    * A crash between 3's delete and rename loses at most the partitions
-    * being swapped and is recoverable from the staging dir (which is only
-    * removed after every rename lands) — the documented non-transactional
-    * residue of running without a table format. Untouched partitions are
-    * never listed for read, never rewritten, never renamed;
-    * `untouchedPreserved` verifies their exact file identity
-    * (name, length, mtime) survived, and the driver gate reads the mixed
-    * store against the same golden twin as the live sink. */
+    * A crash between 3's delete and rename leaves the affected pred's rows
+    * ONLY in the staging dir — so on entry this operator RECOVERS before it
+    * plans: any staged `pred=` partition whose live dir is missing is the
+    * residue of an interrupted swap and is renamed back into the live store
+    * (completing the swap — the staged copy is the compacted rows, content-
+    * equal to what the deleted live dir held); a staged partition whose
+    * live dir still exists is redundant (the live rows were never deleted)
+    * and is discarded with the rest of staging. Only after that sweep —
+    * i.e. only once the live store is verifiably complete again — is the
+    * staging dir wiped for this run's own use. Without the sweep, the
+    * natural crash response (re-run the compaction) would hit the
+    * unconditional staging delete and destroy the sole copy of the
+    * interrupted pred's rows. Untouched partitions are never listed for
+    * read, never rewritten, never renamed; `untouchedPreserved` verifies
+    * their exact file identity (name, length, mtime) survived, and the
+    * driver gate reads the mixed store against the same golden twin as the
+    * live sink. */
   def compactIncremental(spark: org.apache.spark.sql.SparkSession,
                          path: String, maxFilesPerPred: Long,
                          targetBytes: Long = 128L * 1024 * 1024): IncCompactionStats = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStaging(fs, root, new org.apache.hadoop.fs.Path(path + "_compact_staging"))
     val before = partStats(fs, root)
     val hotDirs = before.filter(_._2._1 > maxFilesPerPred).keySet
     val coldDirs = before.keySet -- hotDirs
@@ -228,6 +238,8 @@ object TripleEmitter {
       unescapePathName(dir.stripPrefix("pred=")) ->
         math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     }.toMap
+    // staging was already swept by recoverStaging above; wiping here only
+    // clears this run's own leftovers (e.g. a failed rewritePacked)
     val staging = new org.apache.hadoop.fs.Path(path + "_compact_staging")
     fs.delete(staging, true)
     val hotRows = spark.read.parquet(path)
@@ -247,5 +259,27 @@ object TripleEmitter {
     val preserved = coldDirs.forall(d => fileIdent(d) == coldBefore(d))
     IncCompactionStats(decoded(hotDirs), decoded(coldDirs),
       before.values.map(_._1).sum, after.values.map(_._1).sum, preserved)
+  }
+
+  /** Crash recovery for compactIncremental's compact-then-swap (see its
+    * scaladoc): staged partitions whose live dir is MISSING are the sole
+    * copy of an interrupted swap's rows — rename them back in; staged
+    * partitions whose live dir survives are redundant copies. Idempotent,
+    * and a rename failure is loud (the live store would stay incomplete). */
+  private[pipeline] def recoverStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                       root: org.apache.hadoop.fs.Path,
+                                       staging: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pred="))
+      .foreach { s =>
+        val live = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(s.getPath, live))
+          throw new IllegalStateException(
+            s"compactIncremental recovery: rename ${s.getPath} -> $live failed; " +
+              "the staged partition is the only copy of those rows — aborting " +
+              "rather than deleting staging")
+      }
+    fs.delete(staging, true)
   }
 }

@@ -404,6 +404,34 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin fails LOUD on internal/output column-name collisions") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, ts(10000L))).toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, ts(9000L), 90L)).toDF("user_id", "ts", "event_id")
+    // a left column shadowing an internal name would be silently
+    // overwritten by withColumn; a left column named like a renamed right
+    // payload would corrupt the output projection — both must error
+    intercept[IllegalArgumentException] {
+      Timeseries.rangeJoin(l.withColumn("_lus", lit(0L)), r,
+        "user_id", "ts", -3000L, 0L, Seq("event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.rangeJoin(l.withColumn("_b", lit(0L)), r,
+        "user_id", "ts", -3000L, 0L, Seq("event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.rangeJoin(l.withColumn("r_event_id", lit(0L)), r,
+        "user_id", "ts", -3000L, 0L, Seq("event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.rangeJoin(l, r.withColumn("_rus", lit(0L)),
+        "user_id", "ts", -3000L, 0L, Seq("event_id"))
+    }
+    // clean inputs still pass through the guards
+    assert(Timeseries.rangeJoin(l, r, "user_id", "ts", -3000L, 0L,
+      Seq("event_id")).count() == 1L)
+  }
+
   test("rangeJoin bounds are inclusive and exact at microsecond precision") {
     import spark.implicits._
     // right rows planted exactly ON and 1ms OUTSIDE both bounds of a
@@ -518,6 +546,26 @@ class TimeseriesSpec extends AnyFunSuite {
     val out2 = GraphOps.negativeSamples(triples.repartition(7), 2).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
     assert(out.sorted == out2.sorted)
+  }
+
+  test("negativeSamples fails LOUD on a non-dictionary-sized entity pool") {
+    import spark.implicits._
+    // the dense index is a global unpartitioned window — correct only for
+    // a broadcast-sized pool; a general positives frame with an unbounded
+    // tail domain must error, not silently serialize into one sort task
+    val triples = (1 to 40)
+      .map(i => (s"t$i", "mentions", s"e$i")).toDF("subj", "pred", "obj")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.negativeSamples(triples, 1, maxPool = 10L)
+    }
+    assert(e.getMessage.contains("maxPool"))
+    // the same pool passes when the cap admits it, and stays bit-identical
+    // to the default-cap draw (the guard must not change the contract)
+    val a = GraphOps.negativeSamples(triples, 1, maxPool = 100L).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq.sorted
+    val b = GraphOps.negativeSamples(triples, 1).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq.sorted
+    assert(a == b && a.nonEmpty)
   }
 
   test("bfsDistances labels each node once with its minimum hop count") {

@@ -121,4 +121,54 @@ class CompactionSpec extends AnyFunSuite {
       targetBytes = 64L * 1024 * 1024)
     assert(stats2.predsCompacted.isEmpty && stats2.untouchedPreserved)
   }
+
+  test("compactIncremental: re-run after a mid-swap crash recovers the staged-only partition") {
+    import spark.implicits._
+    val triples = (
+      (1 to 800).map(i => (s"turn$i", "mentions", s"e${i % 31}")) ++
+      (1 to 50).map(i => (s"e$i", "type", "disease"))
+    ).toDF("subj", "pred", "obj")
+      .withColumn("props", map().cast("map<string,string>"))
+    val store = "/tmp/graft_test_inccompact_crash"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(store + "_compact_staging"))
+    triples.repartition(8).write.mode("overwrite").partitionBy("pred").parquet(store)
+    val beforeContent = spark.read.parquet(store).select("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj").count().collect().toSet
+
+    // simulate the crash window between the swap's delete and rename: the
+    // hot pred's rows exist ONLY in staging (live dir gone). Moving the
+    // live dir wholesale is content-faithful — the staged dir at that
+    // point holds the same rows, just re-packed.
+    val staged = new java.io.File(store + "_compact_staging/pred=mentions")
+    staged.getParentFile.mkdirs()
+    assert(new java.io.File(s"$store/pred=mentions").renameTo(staged))
+    assert(!new java.io.File(s"$store/pred=mentions").exists())
+
+    // the natural recovery action is just re-running the compaction; the
+    // entry sweep must complete the interrupted swap, not delete the sole
+    // copy (threshold high: this run itself compacts nothing)
+    val stats = TripleEmitter.compactIncremental(spark, store,
+      maxFilesPerPred = 1000L, targetBytes = 64L * 1024 * 1024)
+    assert(stats.predsCompacted.isEmpty, stats)
+    val afterContent = spark.read.parquet(store).select("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj").count().collect().toSet
+    assert(afterContent == beforeContent, "staged-only rows must be recovered")
+    assert(!new java.io.File(store + "_compact_staging").exists())
+
+    // redundant-staged case (crash BEFORE the delete): live dir intact, a
+    // staged copy left over — recovery keeps the live rows and discards
+    // the redundant copy without duplicating anything
+    val staged2 = new java.io.File(store + "_compact_staging/pred=type")
+    staged2.getParentFile.mkdirs()
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/pred=type"), staged2)
+    TripleEmitter.compactIncremental(spark, store,
+      maxFilesPerPred = 1000L, targetBytes = 64L * 1024 * 1024)
+    val afterContent2 = spark.read.parquet(store).select("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj").count().collect().toSet
+    assert(afterContent2 == beforeContent, "redundant staging must not duplicate rows")
+    assert(!new java.io.File(store + "_compact_staging").exists())
+  }
 }
