@@ -860,7 +860,9 @@ object SparkEntry {
     // join restricted to pairs touching at least one new doc.
     "dedup_incremental" -> ((s, dir) => incrementalPairs(s, dir)),
     // signatures over the corpus-plus-exact-copies so near-dup pairs exist;
-    // the pairs query below re-derives candidates from these very signatures
+    // the pairs query below re-derives candidates from these very
+    // signatures. md5-derived bits (round 7) => the twin recomputes the
+    // full signature + band keys from the corpus — a direct hash gate
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(docsPlusExactCopies(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -950,8 +952,9 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => TextStats.piiScrub(piiDocsTbl(s, dir))),
     "text_winnow_fp" -> ((s, dir) => TextStats.winnowFingerprint(tbl(s, dir, "documents"))),
     // per-doc positional gram hashes — the {OUT} dump whose DuckDB windowed
-    // re-derivation gates text_winnow_fp (rows-only itself: murmur is not in
-    // DuckDB, same pattern as dedup_simhash signatures)
+    // re-derivation gates text_winnow_fp; with the 40-bit md5 spelling
+    // (round 7) the dump is ALSO directly gated: the twin recomputes every
+    // (pos, hash) from the documents table itself
     "text_gram_hashes" -> ((s, dir) => TextStats.gramHashFrame(tbl(s, dir, "documents"))),
 
     // ---- zh/mixed text-operator gates (round-5: the KG pipeline was CJK-
@@ -1046,9 +1049,10 @@ object SparkEntry {
     *  - `{AUX}`: engine-derived model artifacts (SparkEntry.dumpAux) that
     *    are inputs, not outputs — the IVF centroid table, from which the
     *    ann_ivf_topk twin re-derives assignment, probing, and top-k.
-    * Omitted only for dedup_simhash and text_gram_hashes (raw murmur
-    * hashes, not expressible in DuckDB — rows-only; both are gated
-    * transitively by the {OUT} twins that re-derive from them). */
+    * Every query has a twin: the last two rows-only surfaces (simhash
+    * signatures, positional gram hashes) moved from murmur to the portable
+    * md5 spelling in round 7, so DuckDB recomputes them from the corpus
+    * directly. */
   def oracleSql: Map[String, String] = {
     val jaccardSql =
       """WITH w AS (
@@ -1863,6 +1867,16 @@ object SparkEntry {
           "WHERE entity_type = 'disease' " +
           "AND (contains(name, '1') OR len(list_filter(aliases, a -> contains(a, '1'))) > 0) " +
           "ORDER BY name, id LIMIT 20"),
+      // direct re-derivation of the positional gram-hash dump from the
+      // corpus itself: every 8-char gram of the lowercased text, 0-based
+      // positions, 40-bit md5 hashes — the engine's exact spelling
+      "text_gram_hashes" ->
+        """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+          |g AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS i
+          |      FROM d WHERE length(t) >= 8)
+          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          |       CAST('0x' || substr(md5(substr(t, i, 8)), 1, 10) AS BIGINT) AS h
+          |FROM g""".stripMargin,
       "text_winnow_fp" ->
         """WITH g AS (SELECT doc_id, pos, h FROM read_parquet('{OUT}/text_gram_hashes/*.parquet')),
           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
@@ -1880,6 +1894,43 @@ object SparkEntry {
           |       max(s.wmin) AS fp_max
           |FROM documents d LEFT JOIN sel s USING (doc_id)
           |GROUP BY d.doc_id""".stripMargin,
+      // full independent re-derivation of the simhash signatures: per-token
+      // 64 bits from the two 32-bit md5 halves, vote sums, majority bits,
+      // signed 64-bit assembly, 16-bit band keys. Zero-token docs emit
+      // signature 0 (the engine's empty fold). All sums CAST from HUGEINT.
+      "dedup_simhash" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+          |tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+          |  FROM d),
+          |h AS (SELECT doc_id,
+          |        CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+          |        CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo FROM tok),
+          |b AS (SELECT doc_id, unnest(generate_series(0, 63)) AS bit, hi, lo FROM h),
+          |v AS (SELECT doc_id, bit,
+          |        2 * sum(CASE WHEN bit < 32 THEN (lo >> bit) & 1
+          |                     ELSE (hi >> (bit - 32)) & 1 END) - count(*) AS vote
+          |      FROM b GROUP BY 1, 2),
+          |halves AS (SELECT doc_id,
+          |        CAST(sum(CASE WHEN vote > 0 AND bit < 32
+          |                      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS lo,
+          |        CAST(sum(CASE WHEN vote > 0 AND bit >= 32
+          |                      THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+          |      FROM v GROUP BY 1),
+          |sig AS (
+          |  SELECT doc_id,
+          |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+          |      * 4294967296 + lo AS simhash, hi, lo
+          |  FROM halves
+          |  UNION ALL
+          |  SELECT doc_id, 0, 0, 0 FROM d
+          |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) = 0)
+          |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+          |  lo & 65535 AS band0, (lo >> 16) & 65535 AS band1,
+          |  hi & 65535 AS band2, (hi >> 16) & 65535 AS band3
+          |FROM sig""".stripMargin,
       "dedup_simhash_pairs" ->
         """WITH s AS (SELECT * FROM read_parquet('{OUT}/dedup_simhash/*.parquet'))
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

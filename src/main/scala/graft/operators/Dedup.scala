@@ -113,6 +113,40 @@ object Dedup {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** Lowercase MD5 hex of the UTF-8 bytes — the PORTABLE hash spelling for
+    * fingerprints that must reproduce across engines and languages (every
+    * SQL engine ships md5(); murmur implementations differ between
+    * libraries). MessageDigest instances are not thread-safe, so one is
+    * held per thread. */
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Hex(s: String): String = {
+    val d = md5Tl.get()
+    d.reset()
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** First 40 bits of md5 as a non-negative Long — matches the SQL twin
+    * spelling CAST('0x' || substr(md5(x), 1, 10) AS BIGINT) exactly (and
+    * Spark's conv(substr(md5(x),1,10),16,10)); 40 bits keeps *48271-style
+    * residue arithmetic ANSI-safe in int64. */
+  def md5Hash40(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 10), 16)
+
+  /** The two 32-bit halves of md5's first 64 bits, each as a non-negative
+    * Long (hi = hex chars 1-8, lo = chars 9-16) — the cross-engine-safe
+    * carrier for a conceptual unsigned 64-bit hash: both halves stay far
+    * inside int64, so no engine's signed arithmetic can overflow or
+    * sign-surprise while re-deriving bit b (b < 32 from lo, else hi). */
+  def md5Halves(s: String): (Long, Long) = {
+    val h = md5Hex(s)
+    (java.lang.Long.parseLong(h.substring(0, 8), 16),
+      java.lang.Long.parseLong(h.substring(8, 16), 16))
+  }
+
   /** The two per-shingle hash lanes feeding the 2-universal combine. */
   def shingleHashes(s: String): (Long, Long) =
     (hash64(s, 0x2545f491), hash64(s, 0x1b873593) | 1L) // odd h2 => full-period
@@ -458,14 +492,25 @@ object Dedup {
     docs.select(col(idCol), col(textCol)).union(clones)
   }
 
-  /** 64-bit SimHash over whitespace tokens (counted, not distinct). */
+  /** 64-bit SimHash over whitespace tokens (counted, not distinct).
+    *
+    * Per-token bits come from the two 32-bit MD5 halves (bit b < 32 from
+    * lo, else hi — `md5Halves`), NOT murmur: the portable spelling lets the
+    * DuckDB twin recompute the ENTIRE signature independently from the
+    * corpus (vote sums, majority bits, band keys), so the dump is directly
+    * rows+schema+hash gated instead of only transitively via the banded
+    * pairs. MD5 costs more ALU than murmur per token, but the pass is
+    * scan-shaped and hashing is not the bottleneck; engine-portable
+    * fingerprints are the standard trade for corpus-dedup artifacts shared
+    * across toolchains. */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
-      val h = hash64(t, 0x7f4a7c15)
+      val (hi, lo) = md5Halves(t)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+        if (bit == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }

@@ -197,13 +197,19 @@ object TextStats {
       md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fingerprint"))
 
   /** Positional k-gram char hashes of the lowercased text — the shared
-    * primitive under winnowSelect AND the gramHashFrame dump the DuckDB
-    * winnow twin re-derives the windowed min from (single hashing code
-    * path: the fingerprint and its oracle cannot drift). */
+    * primitive under winnowSelect AND the gramHashFrame dump (single
+    * hashing code path: the fingerprint and its oracle cannot drift).
+    * The hash is the PORTABLE 40-bit md5 spelling (`Dedup.md5Hash40`):
+    * any engine with md5() re-derives identical values, so the dump gets a
+    * direct DuckDB gate (positions + hashes recomputed from the documents
+    * table) on top of the windowed-min re-derivations downstream —
+    * winnowing/decontamination fingerprints are exactly the artifact that
+    * must reproduce across toolchains. 40 bits is ample for intra-doc
+    * window minima and keeps every residue trick ANSI-safe in int64. */
   def gramHashes(text: String, k: Int): Array[Long] = {
     val s = (if (text == null) "" else text).toLowerCase
     if (s.length < k) Array.empty
-    else Array.tabulate(s.length - k + 1)(i => Dedup.hash64(s.substring(i, i + k), 0x6b43a9b5))
+    else Array.tabulate(s.length - k + 1)(i => Dedup.md5Hash40(s.substring(i, i + k)))
   }
 
   /** (doc_id, pos, h) rows of per-doc gram hashes — the {OUT} dump the
