@@ -906,6 +906,32 @@ object SparkEntry {
         .filter(col("keep")).select("doc_id")
       queries("corpus_clean")(s, dir).join(rep, Seq("doc_id"), "left_semi")
     }),
+    // capstone v3 — the COMPLETE modern pretraining filter chain: quality
+    // -> langid -> exact-dup -> near-dup -> repetition -> full Gopher
+    // signal set -> SemDeDup semantic prune (vec_id == doc_id in the
+    // fixtures, so the embedding-space decision lands back on documents).
+    // Twin recomposes three already-hash-gated {OUT} dumps; still one
+    // declarative plan engine-side (two more scan-shaped semi-joins).
+    "corpus_clean_v3" -> ((s, dir) => {
+      val gop = TextStats.gopherStats(tbl(s, dir, "documents"), minStop = 1)
+        .filter(col("keep")).select("doc_id")
+      val sem = queries("dedup_semantic")(s, dir)
+        .filter(col("kept")).select(col("vec_id").as("doc_id"))
+      queries("corpus_clean_rep")(s, dir)
+        .join(gop, Seq("doc_id"), "left_semi")
+        .join(sem, Seq("doc_id"), "left_semi")
+    }),
+    // SemDeDup cluster-then-prune semantic dedup over the embedding corpus
+    // plus the planted probes (so true semantic near-dups exist): reuses
+    // THE memoized IVF quantizer (same {AUX}-dumped centroid model the
+    // ann_ivf_topk twin re-derives from), enumerates pairs within cells
+    // only, keeps min-id reps. Twin re-derives assignment, in-cell cosine
+    // pairs, recursive-CTE clusters, and the kept flag end to end.
+    "dedup_semantic" -> ((s, dir) => {
+      val (model, cells) = ivfIndex(s, dir)
+      val probes = Similarity.ivfAssign(plantedProbes(s, dir), model)
+      Similarity.semanticDedup(cells.unionByName(probes), 0.99)
+    }),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDup(prepEmb(s, dir), plantedProbes(s, dir), 0.99)),
     // corpus-SELF near-dup via sign-LSH buckets + exact-cosine verify (the
@@ -946,6 +972,16 @@ object SparkEntry {
     // the top bigram relationally (group + window) where the engine folds a
     // sorted array — two independent spellings of (count DESC, gram ASC)
     "text_repetition" -> ((s, dir) => TextStats.repetitionStats(tbl(s, dir, "documents"))),
+    // the REMAINING Gopher quality signals (mean-word-length band,
+    // symbol-to-word ratio, bullet/ellipsis line fractions, stop-word
+    // presence) — completes Rae et al. §A1.1 next to text_quality and
+    // text_repetition; all-int64 cross-multiplied keep arms. minStop = 1
+    // here: the synthetic vocabulary carries only one of the paper's 8
+    // function words, and 1 is the setting where the signal discriminates
+    // (382 keep / 118 drop at sf0.01 — both arms live); the paper's 2-of-8
+    // default presumes natural English and is spec-gated separately
+    "text_gopher" -> ((s, dir) =>
+      TextStats.gopherStats(tbl(s, dir, "documents"), minStop = 1)),
     // PII scrub over the planted fixture: counts + the redacted text itself
     // are hashed (regexes shared verbatim with the RE2 twin, the cjkPattern
     // discipline)
@@ -986,6 +1022,12 @@ object SparkEntry {
     // token pairs (one tokenizer-training round over the full corpus)
     "corpus_top_pairs" -> ((s, dir) =>
       graft.operators.Corpus.topPairs(tbl(s, dir, "documents"), 50)),
+    // the full iterative BPE TRAINING loop (6 greedy merge rounds over the
+    // word-frequency table, merges applied between rounds); the twin
+    // unrolls the identical 6 rounds in SQL — deterministic tie-breaks
+    // make the whole merge table hash-gateable
+    "corpus_bpe_merges" -> ((s, dir) =>
+      graft.operators.Corpus.bpeMerges(tbl(s, dir, "documents"), 6)),
     // deterministic data-mixing sample: per-language keep rates (upsample
     // de, downsample fr, default 10%) via the split-hash residue — a pure
     // scan-pushed filter, rerun-stable on any engine
@@ -1733,6 +1775,74 @@ object SparkEntry {
           "SELECT unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS pair " +
           "FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws " +
           "FROM documents)) GROUP BY pair ORDER BY n DESC, pair LIMIT 50"),
+      // the BPE training loop, 6 rounds unrolled: identical wrapped-symbol
+      // spelling ("abc" -> "|a||b||c|"), identical pair counting over the
+      // word-frequency table, identical (cnt DESC, lhs, rhs) argmax, and
+      // replace()'s left-to-right non-overlapping semantics match the
+      // engine's greedy merge on both engines
+      "corpus_bpe_merges" -> {
+        val round = (i: Int) =>
+          s"""t$i AS (SELECT string_split(substr(w, 2, length(w) - 2), '||') AS ts, freq
+             |       FROM wf${i - 1}),
+             |p$i AS (SELECT string_split(pair, ' ')[1] AS lhs,
+             |              string_split(pair, ' ')[2] AS rhs, sum(freq) AS cnt
+             |       FROM (SELECT unnest([ts[k] || ' ' || ts[k+1]
+             |                            for k in generate_series(1, len(ts)-1)]) AS pair,
+             |                    freq
+             |             FROM t$i)
+             |       GROUP BY 1, 2),
+             |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+             |wf$i AS (SELECT replace(w, '|' || m.lhs || '||' || m.rhs || '|',
+             |                        '|' || m.lhs || m.rhs || '|') AS w, freq
+             |        FROM wf${i - 1}, m$i m)""".stripMargin
+        val rounds = (1 to 6).map(round).mkString(",\n")
+        val out = (1 to 6).map(i =>
+          s"SELECT $i::BIGINT AS merge_round, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           |  FROM documents),
+           |wf0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+           |               count(*) AS freq
+           |        FROM words GROUP BY 1),
+           |$rounds
+           |$out""".stripMargin
+      },
+      // SemDeDup re-derived end to end from the dumped quantizer model:
+      // every vector's cell (argmin d2, ties to the lowest cell — the
+      // ann_ivf_topk spelling), in-cell cosine pairs at tau, recursive-CTE
+      // transitive clusters, kept = not a non-min member
+      "dedup_semantic" ->
+        """WITH RECURSIVE cent AS (SELECT cell, c FROM read_parquet('{AUX}/ivf_centroids/*.parquet')),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |p AS (SELECT vec_id + 100000 AS vec_id,
+          |             list_concat([v[1] + 0.05], v[2:64]) AS v
+          |      FROM e WHERE vec_id % 10 = 0),
+          |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+          |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM u),
+          |dist AS (SELECT vec_id, cell,
+          |           list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in generate_series(1, len(v))]) AS d2
+          |         FROM n, cent),
+          |assign AS (SELECT vec_id, cell FROM (
+          |             SELECT vec_id, cell,
+          |               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          |             FROM dist) WHERE rn = 1),
+          |a AS (SELECT n.vec_id, n.v, n.nrm, assign.cell
+          |      FROM n JOIN assign USING (vec_id)),
+          |pr AS (SELECT x.vec_id AS pa, y.vec_id AS pb
+          |       FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          |       WHERE list_sum([x.v[i]*y.v[i] for i in generate_series(1, len(x.v))])
+          |               / (x.nrm * y.nrm) >= 0.99),
+          |e2 AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+          |reach(s, d) AS (
+          |  SELECT s, d FROM e2
+          |  UNION
+          |  SELECT r.s, e2.d FROM reach r JOIN e2 ON r.d = e2.s),
+          |nonreps AS (SELECT s AS vec_id FROM reach GROUP BY s
+          |            HAVING least(s, min(d)) <> s)
+          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+          |       a.vec_id NOT IN (SELECT vec_id FROM nonreps) AS kept
+          |FROM a""".stripMargin,
       "corpus_sample_mix" ->
         ("SELECT doc_id, lang FROM documents WHERE (((doc_id * 48271) % 100) + 100) % 100 < " +
           "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 WHEN 'fr' THEN 25 ELSE 10 END"),
@@ -1821,6 +1931,44 @@ object SparkEntry {
           |  ((len(ws) - len(list_distinct(ws))) * 100 <= len(ws) * 55
           |    AND coalesce(t.c, 0) <= 2) AS keep
           |FROM w LEFT JOIN top t ON t.doc_id = w.doc_id AND t.rn = 1""").stripMargin,
+      // the remaining Gopher signals: same word/line grains as
+      // text_repetition's twin (explicit ws-run class; trimmed non-empty
+      // line splits), symbol counts via replace-diff + regex runs, keep
+      // arms as cross-multiplied integers
+      "text_gopher" -> {
+        val stop = TextStats.gopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH w AS (
+           |  SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(lower(text), '${graft.operators.TextOps.wsRunPattern}'), x -> x <> '') AS ws,
+           |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+           |                x -> x <> '') AS ls
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |  len(ws)::BIGINT AS n_words,
+           |  coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS word_chars,
+           |  (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+           |  len(regexp_extract_all(text, '\\.\\.\\.|…'))::BIGINT AS n_ellipsis,
+           |  len(ls)::BIGINT AS n_lines,
+           |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+           |                        OR starts_with(x, '•')))::BIGINT AS n_bullet_lines,
+           |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))::BIGINT
+           |    AS n_ellipsis_lines,
+           |  len(list_filter($stop, s -> list_contains(ws, s)))::BIGINT AS n_stop_distinct
+           |  FROM w)
+           |SELECT *,
+           |  (n_words * 3 <= word_chars AND word_chars <= n_words * 10
+           |   AND (n_hash + n_ellipsis) * 10 <= n_words
+           |   AND n_bullet_lines * 10 <= n_lines * 9
+           |   AND n_ellipsis_lines * 10 <= n_lines * 3
+           |   AND n_stop_distinct >= 1) AS keep
+           |FROM f""".stripMargin
+      },
+      "corpus_clean_v3" ->
+        """SELECT c.* FROM read_parquet('{OUT}/corpus_clean_rep/*.parquet') c
+          |WHERE c.doc_id IN (SELECT doc_id
+          |                   FROM read_parquet('{OUT}/text_gopher/*.parquet') WHERE keep)
+          |  AND c.doc_id IN (SELECT vec_id
+          |                   FROM read_parquet('{OUT}/dedup_semantic/*.parquet') WHERE kept)""".stripMargin,
       // ---- golden-oracle twins (pure-Scala reference math, materialized by
       // Verify as parquet; see the {ORA} token contract above)
       "kg_mentions" ->

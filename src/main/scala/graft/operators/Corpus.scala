@@ -89,6 +89,70 @@ object Corpus {
       .orderBy(col("n").desc, col("pair")).limit(k)
   }
 
+  /** ITERATIVE BPE trainer (Sennrich et al. 2016): `rounds` greedy merge
+    * rounds, each = count adjacent symbol pairs over the word-FREQUENCY
+    * table, pick the most frequent pair (count DESC, lhs ASC, rhs ASC —
+    * fully deterministic ties), apply the merge, repeat. `topPairs` is one
+    * counting round over raw tokens; this is the actual training loop.
+    *
+    * The at-scale shape is the classic one: ONE corpus pass builds the
+    * (word, freq) vocabulary — the only corpus-scale job — and every merge
+    * round then runs over the vocabulary, orders of magnitude smaller.
+    * Words are carried in a wrapped symbol spelling, each symbol enclosed
+    * in '|' ("abc" -> "|a||b||c|"), so applying merge (l, r) is ONE
+    * non-UDF string replace of "|l||r|" with "|lr|": left-to-right
+    * non-overlapping replacement IS greedy BPE merge order ("|a||a||a|"
+    * merges to "|aa||a|"), and the spelling is identical in DuckDB, which
+    * lets the twin unroll k rounds exactly. Words are ASCII [a-z]+ runs
+    * (symbol set disjoint from the separator by construction). Per round:
+    * one narrow projection + one pair-count aggregate (map-side combined,
+    * vocab-scale) + a 1-row driver argmax + one replace projection; each
+    * vocabulary generation is checkpointed (severing the k-round lineage)
+    * and the superseded one freed — the PageRank/CC loop discipline.
+    *
+    * Returns (merge_round, lhs, rhs, cnt) — the learned merge table, the
+    * artifact a tokenizer trainer actually emits. Stops early if no pair
+    * remains. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("w"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val ts = split(expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+      val top = wf
+        .select(explode(zip_with(
+          slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+          slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), col("freq"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        val next = wf
+          .select(replace(col("w"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("w"),
+            col("freq"))
+          .localCheckpoint(true)
+        releaseResult(wf)
+        wf = next
+      }
+    }
+    releaseResult(wf)
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "cnt")
+  }
+
   /** Corpus vocabulary head: top-k terms of the lowercased text with
     * deterministic ties (count desc, term asc). `cjk` switches the term
     * grain to the CJK-aware tokenizer (per-Han-char terms — whitespace

@@ -192,6 +192,48 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Within-cell near-dup pairs (vec_a < vec_b, cosine >= tau) — the
+    * SemDeDup candidate enumeration: ONE equi-join on the quantizer cell,
+    * so pair fan-out is bounded by cell occupancy, never corpus². Input is
+    * an `ivfAssign` output (vec_id, v, nrm, cell). */
+  def semanticPairs(assigned: DataFrame, tau: Double): DataFrame =
+    assigned.select(col("cell"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cosine")
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic k-means
+    * coarse quantizer, enumerate candidate pairs only WITHIN a cell
+    * (cosine >= tau over the exact sequential-fold dot), connect them
+    * transitively, and keep the min-id representative per semantic
+    * cluster. Cluster-then-prune is what makes semantic dedup tractable at
+    * 100 TB: the candidate join is cell-local (occupancy-bounded), the
+    * quantizer model is driver-sized, and the cluster graph is dup-sized.
+    * A near-dup pair split across cells is missed BY DESIGN — the paper's
+    * accepted approximation; raise the cell count/iters, or use
+    * `lshNearDupPairs` when bucket-union recall is needed.
+    *
+    * Returns every input row as (vec_id, cell, kept), kept = not a
+    * non-representative member of some semantic cluster. Deterministic end
+    * to end: the model is parallelism-independent, assignment ties go to
+    * the lowest cell, representatives are cluster minima. */
+  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val pairs = semanticPairs(assigned, tau)
+    val nonReps = Dedup.clusterReps(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("vec_id"), lit(false).as("kept"))
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(nonReps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs between a (small, broadcast) probe set
     * and the corpus. */
   def cosineNearDup(corpus: DataFrame, probes: DataFrame, tau: Double): DataFrame =

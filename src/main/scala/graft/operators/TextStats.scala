@@ -168,6 +168,70 @@ object TextStats {
         col("dup_words") * 100 <= col("n_words") * 55 && col("top_gram_n") <= 2)
   }
 
+  /** The 8 high-frequency English function words of Gopher's stop-word
+    * presence rule (Rae et al. 2021 §A1.1) — a doc must contain at least 2
+    * DISTINCT ones. Shared with the SQL twin. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The REMAINING Gopher quality signals (Rae et al. 2021 §A1.1) beyond
+    * `quality` (word count / punct) and `repetitionStats` (dup lines /
+    * top n-gram): mean-word-length band, symbol-to-word ratio, bullet- and
+    * ellipsis-line fractions, stop-word presence. All counts int64 and
+    * every keep arm compares CROSS-MULTIPLIED integers, so the gate is
+    * bit-stable where the paper's float fractions would not be:
+    *
+    *  - mean word length in [3, 10]:  3·n_words <= word_chars <= 10·n_words
+    *  - symbol-to-word ratio <= 0.1:  10·(n_hash + n_ellipsis) <= n_words
+    *    (symbols = '#' chars + '...'/'…' runs, the paper's set)
+    *  - <= 90% of lines start with a bullet ('-', '*', '•'):
+    *    10·n_bullet_lines <= 9·n_lines
+    *  - <= 30% of lines end with an ellipsis: 10·n_ellipsis_lines <= 3·n_lines
+    *  - >= `minStop` distinct `gopherStopwords` present (the paper's rule
+    *    is 2 of 8, the default; the threshold is a parameter because it
+    *    presumes natural English — on a synthetic/technical vocabulary the
+    *    discriminating setting can differ, and the driver gate runs the one
+    *    that exercises both keep arms on its corpus)
+    *
+    * Word/line grains are shared with `repetitionStats` (wsRunPattern runs;
+    * trimmed non-empty '\n' splits). Scan-shaped: one narrow projection,
+    * per-row arrays, no shuffle — the 100 TB shape of every Gopher filter. */
+  def gopherStats(docs: DataFrame, minStop: Int = 2): DataFrame = {
+    val ws = filter(split(lower(col("text")), TextOps.wsRunPattern, -1),
+      w => w =!= lit(""))
+    val lines = filter(transform(split(col("text"), "\n", -1), l => trim(l)),
+      l => l =!= lit(""))
+    val wordChars = aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nHash = (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+      .cast("long")
+    val nEllipsis = size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0)))
+      .cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val stopDistinct = gopherStopwords
+      .map(w => when(array_contains(ws, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        wordChars.as("word_chars"),
+        nHash.as("n_hash"),
+        nEllipsis.as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        bulletLines.as("n_bullet_lines"),
+        ellipsisLines.as("n_ellipsis_lines"),
+        stopDistinct.as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words") * 3 <= col("word_chars") &&
+          col("word_chars") <= col("n_words") * 10 &&
+          (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words") &&
+          col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("n_stop_distinct") >= minStop)
+  }
+
   /** PII scrub — the redaction pass a transcripts-to-training-data
     * pipeline runs before anything else leaves the trust boundary. Two
     * detector classes (emails, phone-like digit runs) as regexes shared

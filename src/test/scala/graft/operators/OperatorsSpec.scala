@@ -114,6 +114,87 @@ class OperatorsSpec extends AnyFunSuite {
     (20 until 25).foreach(i => assert(pairs.contains((i.toLong, i + 2000L))))
   }
 
+  test("gopherStats: every signal arm fires on its crafted doc; paper default needs 2 stopwords") {
+    import spark.implicits._
+    val fixture = Seq(
+      // 0: clean natural-ish text — all arms pass at the paper default
+      (0L, "the cat sat and the dog ran with them all day long"),
+      // 1: symbol-heavy — '#' count trips the 10% symbol-to-word arm
+      (1L, "# # # # the cat and dog"),
+      // 2: 3/3 bulleted lines — trips the 90% bullet-line arm only
+      (2L, "- the cat and dog\n- the fox and hen\n- the owl and bat"),
+      // 3: 2/3 ellipsis-ended lines — trips the 30% ellipsis-line arm
+      (3L, "the cat and dog went on...\nthe fox and hen sat down...\nthe owl and bat"),
+      // 4: mean word length > 10 — trips the [3, 10] band
+      (4L, "the organizational transformational interdisciplinary and"),
+      // 5: only one distinct stopword — fails the 2-of-8 default,
+      //    passes at minStop = 1
+      (5L, "the cat sat near cat and-less dogs"))
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherStats(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[Boolean]("keep") && out(1L).getAs[Long]("n_hash") == 4L)
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_bullet_lines") == 3L)
+    assert(out(3L).getAs[Long]("n_ellipsis_lines") == 2L &&
+      out(3L).getAs[Long]("n_lines") == 3L && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("keep") &&
+      out(4L).getAs[Long]("word_chars") > out(4L).getAs[Long]("n_words") * 10)
+    assert(!out(5L).getAs[Boolean]("keep") &&
+      out(5L).getAs[Long]("n_stop_distinct") == 1L)
+    val relaxed = TextStats.gopherStats(fixture, minStop = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(relaxed(5L), "minStop=1 must admit the single-stopword doc")
+    assert(!relaxed(1L) && !relaxed(2L), "other arms unaffected by minStop")
+  }
+
+  test("bpeMerges: greedy merge rounds match the hand-computed table and stop when dry") {
+    import spark.implicits._
+    // words: 'aaab' x2, 'ab' x1 =>
+    //   round 1: (a,a)=4 beats (a,b)=3 -> merge aa (left-to-right greedy:
+    //            |a||a||a||b| -> |aa||a||b|, NOT |a||aa||b|)
+    //   round 2: (a,b)=3 beats (aa,a)=2 -> merge ab
+    //   round 3: (aa,ab)=2 the only pair
+    //   round 4: no pairs left -> early stop
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, 6).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+    // deterministic under hostile repartitioning (ties + argmax)
+    val out2 = Corpus.bpeMerges(docs.repartition(7), 6).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).sortBy(_._1)
+    assert(out.toSeq == out2.toSeq)
+  }
+
+  test("semanticDedup: in-cell transitive clusters keep the min id; cross-cell pairs missed by design") {
+    import spark.implicits._
+    def row(id: Long, v: Seq[Double], cell: Int) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v, n, cell)
+    }
+    // cell 0: 1 ~ 2 and 2 ~ 3 (transitive chain, all cos >= 0.99);
+    // cell 1: 4 is a near-dup of 1 but SITS IN ANOTHER CELL (the SemDeDup
+    // accepted miss), 5 is orthogonal
+    val assigned = Seq(
+      row(1L, Seq(1.0, 0.0, 0.0), 0),
+      row(2L, Seq(1.0, 0.01, 0.0), 0),
+      row(3L, Seq(1.0, 0.02, 0.0), 0),
+      row(4L, Seq(1.0, 0.001, 0.0), 1),
+      row(5L, Seq(0.0, 1.0, 0.0), 1))
+      .toDF("vec_id", "v", "nrm", "cell")
+    val pairs = Similarity.semanticPairs(assigned, 0.99).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"in-cell pairs only, got $pairs")
+    val kept = Similarity.semanticDedup(assigned, 0.99).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true), kept.toString)
+  }
+
   test("firstWins keeps exactly one row per key, the earliest") {
     import spark.implicits._
     val df = Seq((1L, "a", 3L), (1L, "a", 1L), (1L, "b", 2L), (2L, "a", 9L))
