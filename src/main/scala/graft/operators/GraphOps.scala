@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-hop read queries over the triple store — the traversals one step
@@ -227,42 +227,74 @@ object GraphOps {
       .localCheckpoint(true)
     prFixpointLoop(eDeg, "rank div deg",
       deg.select(col("src").as("ent"), lit(r0).as("rank")),
-      (15L * r0) / 100L, iterations, checkpointEvery)
+      lit((15L * r0) / 100L), iterations, checkpointEvery)
   }
 
-  /** The shared fixed-point loop under pageRankFp and pageRankWeightedFp:
-    * per iteration, join the checkpointed edge invariant `eInv` with the
-    * node-sized rank frame on src, emit `contrib` per edge, aggregate by
-    * dst, apply the tele + 85% step. In-loop checkpoint generations: each
-    * new eager checkpoint severs the lineage reaching the previous one, so
-    * the superseded generation's MEMORY_AND_DISK blocks are freed IN-LOOP
-    * (DataFrame.unpersist is a no-op on checkpointed frames — same
-    * discipline as ConnectedComponents.runDistributed; long-lived drivers
-    * cycling kg_pagerank must not wait for RDD GC). The final node-sized
-    * copy severs the result's lineage so `eInv` and the last in-loop
-    * generation are freed NOW rather than leak until RDD GC. */
+  /** THE fixed-point loop under all four PageRank variants: per iteration,
+    * join the checkpointed edge invariant `eInv` with the node-sized rank
+    * frame on src, emit `contrib` per edge, aggregate by dst, apply the
+    * teleport + 85% step. The variants differ only in three hooks:
+    *
+    *  - `teleCol`: the per-node teleport term — a constant for the
+    *    global/weighted/directed variants, seed-gated for personalized
+    *    (may reference any column the node frame carries);
+    *  - `nodes`: an optional checkpointed node frame (ent + flag columns).
+    *    When present, each round LEFT-joins the contribution sums onto it
+    *    (coalesced to 0), so sources with no in-edges survive and the row
+    *    set is the node set; without it the aggregate's key set is the row
+    *    set (the symmetric-graph contract, where both are equal);
+    *  - `danglingShare`: an optional per-iteration hook computing the
+    *    dangling-mass share from the CURRENT rank frame (one node-scale
+    *    aggregate collected driver-side — the standard treatment, exact in
+    *    integer arithmetic); its result is added to every node's in-mass.
+    *
+    * Checkpoint discipline (the CC/ConnectedComponents block pattern): each
+    * eager localCheckpoint severs the lineage reaching the previous
+    * generation so its MEMORY_AND_DISK blocks are freed IN-LOOP
+    * (DataFrame.unpersist is a no-op on checkpointed frames). Rounds
+    * checkpoint every `checkpointEvery` iterations — except with a
+    * dangling hook, where the rank frame is read twice per round (the
+    * driver-side sum, then the join) and is materialized every round so
+    * the plan never runs twice. The final node-sized copy severs the
+    * result's lineage so `eInv`, `nodes`, and the last in-loop generation
+    * are freed NOW rather than leak until RDD GC. */
   private def prFixpointLoop(eInv: DataFrame, contrib: String,
-                             ranks0: DataFrame, tele: Long, iterations: Int,
-                             checkpointEvery: Int): DataFrame = {
+                             ranks0: DataFrame, teleCol: Column,
+                             iterations: Int, checkpointEvery: Int,
+                             nodes: Option[DataFrame] = None,
+                             danglingShare: Option[DataFrame => Long] = None): DataFrame = {
     import graft.pipeline.ConnectedComponents.releaseResult
     var ranks = ranks0
     var liveCp: List[DataFrame] = Nil
+    def checkpoint(): Unit = {
+      val c = ranks.localCheckpoint(true)
+      liveCp.foreach(releaseResult)
+      liveCp = List(c)
+      ranks = c
+    }
     for (i <- 1 to iterations) {
+      if (danglingShare.nonEmpty) checkpoint()
+      val extra = danglingShare.map(_(ranks)).getOrElse(0L)
       val contribs = eInv
-        .join(ranks.withColumnRenamed("ent", "src"), "src")
+        .join(ranks.select(col("ent").as("src"), col("rank")), "src")
         .select(col("dst").as("ent"), expr(contrib).as("c"))
-      ranks = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
-        .select(col("ent"), (lit(tele) + expr("(85 * s) div 100")).as("rank"))
-      if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
-        liveCp.foreach(releaseResult)
-        liveCp = List(ranks)
+      val sums = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
+      ranks = nodes match {
+        case Some(nf) =>
+          nf.join(sums, Seq("ent"), "left")
+            .withColumn("in_mass", coalesce(col("s"), lit(0L)) + lit(extra))
+            .select(nf.columns.map(col) :+
+              (teleCol + expr("(85 * in_mass) div 100")).as("rank"): _*)
+        case None =>
+          sums.select(col("ent"), (teleCol + expr("(85 * s) div 100")).as("rank"))
       }
+      if (i % checkpointEvery == 0 && i < iterations) checkpoint()
     }
     val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
       .localCheckpoint(true)
     liveCp.foreach(releaseResult)
     releaseResult(eInv)
+    nodes.foreach(releaseResult)
     out
   }
 
@@ -297,7 +329,7 @@ object GraphOps {
       .localCheckpoint(true)
     prFixpointLoop(eW, "(rank * w) div wsum",
       wsum.select(col("src").as("ent"), lit(r0).as("rank")),
-      (15L * r0) / 100L, iterations, checkpointEvery)
+      lit((15L * r0) / 100L), iterations, checkpointEvery)
   }
 
   /** k-core decomposition by iterative peeling: repeatedly remove nodes of
@@ -370,14 +402,14 @@ object GraphOps {
     * symmetric contract as pageRankFp (every node appears as both src and
     * dst; co-mention graphs satisfy it); nodes unreachable from the seeds
     * hold rank 0 and stay in the output — the row set is the node set,
-    * deterministic. Same loop shape and cost as pageRankFp: the (src, dst,
-    * deg) invariant checkpointed once, one edge-scale exchange per
-    * iteration, node-scale everything else; superseded rank generations
-    * freed in-loop. */
+    * deterministic. Runs `prFixpointLoop` with a seed-flagged node frame
+    * and a seed-gated teleport column: the (src, dst, deg) invariant
+    * checkpointed once, one edge-scale exchange per iteration, node-scale
+    * everything else; superseded rank generations freed in-loop. */
   def personalizedPageRankFp(edges: DataFrame, seeds: DataFrame,
                              iterations: Int,
-                             scale: Long = 1000000000000L): DataFrame = {
-    import graft.pipeline.ConnectedComponents.releaseResult
+                             scale: Long = 1000000000000L,
+                             checkpointEvery: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val s = seeds.select(col("ent")).distinct()
@@ -397,31 +429,11 @@ object GraphOps {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("ent"),
-      when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
-    var prevCp: DataFrame = ranks
-    for (_ <- 1 to iterations) {
-      val contribs = eDeg
-        .join(ranks.select(col("ent").as("src"), col("rank")), "src")
-        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
-      val sums = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
-      val next = nodes.join(sums, Seq("ent"), "left")
-        .withColumn("in_mass", coalesce(col("s"), lit(0L)))
-        .select(col("ent"),
-          (when(col("is_seed"), lit(tele)).otherwise(lit(0L))
-            + expr("(85 * in_mass) div 100")).as("rank"))
-        .localCheckpoint(true)
-      releaseResult(prevCp)
-      prevCp = next
-      ranks = next
-    }
-    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
-      .localCheckpoint(true)
-    releaseResult(prevCp)
-    releaseResult(eDeg)
-    releaseResult(nodes)
-    out
+    prFixpointLoop(eDeg, "rank div deg",
+      nodes.select(col("ent"), col("is_seed"),
+        when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("rank")),
+      when(col("is_seed"), lit(tele)).otherwise(lit(0L)),
+      iterations, checkpointEvery, nodes = Some(nodes))
   }
 
   /** PageRank over a DIRECTED edge list with dangling-node mass — the
@@ -447,14 +459,14 @@ object GraphOps {
     *
     * Cost per iteration: the edge-scale contribution aggregate (PageRank's
     * irreducible shuffle) plus node-scale work (rank-frame join, dangling
-    * filter, node left join). The (src, dst, deg) invariant and the
-    * ent-partitioned node frame are built and checkpointed ONCE; each
-    * iteration's node-sized rank frame is eagerly checkpointed (it is read
-    * twice — dangling sum, then next round) and the superseded generation's
-    * blocks are freed in-loop. */
+    * filter, node left join). Runs `prFixpointLoop` with a has-out-flagged
+    * node frame and the dangling hook: the (src, dst, deg) invariant and
+    * the ent-partitioned node frame are built and checkpointed ONCE; the
+    * hook makes the loop checkpoint each iteration's rank frame eagerly
+    * (it is read twice — dangling sum, then next round) and free the
+    * superseded generation in-loop. */
   def pageRankDirected(edges: DataFrame, iterations: Int,
                        scale: Long = 1000000000000L): DataFrame = {
-    import graft.pipeline.ConnectedComponents.releaseResult
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // node frame with its has-out-edges flag, pre-partitioned on ent and
@@ -474,32 +486,12 @@ object GraphOps {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("ent"), col("has_out"), lit(r0).as("rank"))
-      .localCheckpoint(true)
-    var prevCp: DataFrame = ranks
-    for (_ <- 1 to iterations) {
-      val dSum = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("d")).head.getLong(0)
-      val dShare = dSum / n
-      val contribs = eDeg
-        .join(ranks.select(col("ent").as("src"), col("rank")), "src")
-        .select(col("dst").as("ent"), expr("rank div deg").as("c"))
-      val sums = contribs.groupBy("ent").agg(sum(col("c")).as("s"))
-      val next = nodes.join(sums, Seq("ent"), "left")
-        .withColumn("in_mass", coalesce(col("s"), lit(0L)) + lit(dShare))
-        .select(col("ent"), col("has_out"),
-          (lit(tele) + expr("(85 * in_mass) div 100")).as("rank"))
-        .localCheckpoint(true)
-      releaseResult(prevCp)
-      prevCp = next
-      ranks = next
-    }
-    val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
-      .localCheckpoint(true)
-    releaseResult(prevCp)
-    releaseResult(eDeg)
-    releaseResult(nodes)
-    out
+    prFixpointLoop(eDeg, "rank div deg",
+      nodes.select(col("ent"), col("has_out"), lit(r0).as("rank")),
+      lit(tele), iterations, checkpointEvery = 1, nodes = Some(nodes),
+      danglingShare = Some(r => r.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+        .head.getLong(0) / n))
   }
 
   /** TransE-style NEGATIVE SAMPLING over the mention graph — the
