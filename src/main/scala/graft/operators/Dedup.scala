@@ -122,29 +122,95 @@ object Dedup {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  def md5Hex(s: String): String = {
+  private def md5Bytes(s: String): Array[Byte] = {
     val d = md5Tl.get()
     d.reset()
     d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
   }
 
-  /** First 40 bits of md5 as a non-negative Long — matches the SQL twin
+  private val hexDigits = "0123456789abcdef".toCharArray
+  def md5Hex(s: String): String = {
+    val b = md5Bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 40 bits of the digest as a non-negative Long, assembled straight
+    * from the first 5 digest BYTES — bit-identical to parsing the first 10
+    * hex chars (hex-prefix == byte-prefix), so it still matches the SQL twin
     * spelling CAST('0x' || substr(md5(x), 1, 10) AS BIGINT) exactly (and
-    * Spark's conv(substr(md5(x),1,10),16,10)); 40 bits keeps *48271-style
-    * residue arithmetic ANSI-safe in int64. */
-  def md5Hash40(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 10), 16)
+    * Spark's conv(substr(md5(x),1,10),16,10)) while skipping the hex string
+    * round-trip entirely; 40 bits keeps *48271-style residue arithmetic
+    * ANSI-safe in int64. */
+  private[operators] def first40(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+
+  def md5Hash40(s: String): Long = first40(md5Bytes(s))
 
   /** The two 32-bit halves of md5's first 64 bits, each as a non-negative
-    * Long (hi = hex chars 1-8, lo = chars 9-16) — the cross-engine-safe
+    * Long (hi = digest bytes 0-3 == hex chars 1-8, lo = bytes 4-7 == chars
+    * 9-16, assembled from the bytes directly) — the cross-engine-safe
     * carrier for a conceptual unsigned 64-bit hash: both halves stay far
     * inside int64, so no engine's signed arithmetic can overflow or
     * sign-surprise while re-deriving bit b (b < 32 from lo, else hi). */
   def md5Halves(s: String): (Long, Long) = {
-    val h = md5Hex(s)
-    (java.lang.Long.parseLong(h.substring(0, 8), 16),
-      java.lang.Long.parseLong(h.substring(8, 16), 16))
+    val d = md5Bytes(s)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL),
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL))
+  }
+
+  /** `md5Hash40` of every k-char gram of `s` — equals
+    * `Array.tabulate(s.length-k+1)(i => md5Hash40(s.substring(i, i+k)))`
+    * with the per-gram substring + getBytes + digest allocation eliminated:
+    * the string is UTF-8-encoded ONCE, each gram's bytes are a slice of
+    * that encoding (valid for surrogate-free strings, where UTF-8 is
+    * per-char concatenation; any surrogate falls back to the substring
+    * path, whose unpaired-half replacement encoding a slice cannot
+    * reproduce), and the digest lands in a reused 16-byte buffer. This is
+    * the interior of every winnowing / decontamination fingerprint pass —
+    * one digest per char position, so the per-call constant IS the
+    * operator's CPU at corpus scale. */
+  def gramHash40s(s: String, k: Int): Array[Long] = {
+    val n = s.length - k + 1
+    val out = new Array[Long](n)
+    var hasSurrogate = false
+    var i = 0
+    while (i < s.length && !hasSurrogate) {
+      if (Character.isSurrogate(s.charAt(i))) hasSurrogate = true
+      i += 1
+    }
+    if (hasSurrogate) {
+      var j = 0
+      while (j < n) { out(j) = md5Hash40(s.substring(j, j + k)); j += 1 }
+    } else {
+      val offs = new Array[Int](s.length + 1)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        val w = if (c < 0x80) 1 else if (c < 0x800) 2 else 3
+        offs(i + 1) = offs(i) + w
+        i += 1
+      }
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = md5Tl.get()
+      val buf = new Array[Byte](16)
+      var j = 0
+      while (j < n) {
+        d.reset()
+        d.update(bytes, offs(j), offs(j + k) - offs(j))
+        d.digest(buf, 0, 16)
+        out(j) = first40(buf)
+        j += 1
+      }
+    }
+    out
   }
 
   /** The two per-shingle hash lanes feeding the 2-universal combine. */
@@ -499,18 +565,27 @@ object Dedup {
     * DuckDB twin recompute the ENTIRE signature independently from the
     * corpus (vote sums, majority bits, band keys), so the dump is directly
     * rows+schema+hash gated instead of only transitively via the banded
-    * pairs. MD5 costs more ALU than murmur per token, but the pass is
-    * scan-shaped and hashing is not the bottleneck; engine-portable
-    * fingerprints are the standard trade for corpus-dedup artifacts shared
-    * across toolchains. */
+    * pairs. MD5 costs real ALU per token — the round-7 hex-formatting
+    * spelling of md5Halves made hashing THE bottleneck of this pass (6×
+    * wall, BENCH_r07) — so the digest longs are now assembled straight
+    * from the digest bytes and each DISTINCT token is hashed once, its
+    * vote weighted by its count (bag semantics unchanged: +-count ==
+    * count separate +-1 votes); engine-portable fingerprints remain the
+    * standard trade for corpus-dedup artifacts shared across toolchains. */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
-    tokens.foreach { t =>
+    val counts = new java.util.HashMap[String, Integer]()
+    tokens.foreach(t => counts.merge(t, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b)))
+    counts.forEach { (t, nBoxed) =>
+      val n = nBoxed.intValue()
       val (hi, lo) = md5Halves(t)
       var b = 0
+      while (b < 32) {
+        if (((lo >>> b) & 1L) == 1L) acc(b) += n else acc(b) -= n
+        b += 1
+      }
       while (b < 64) {
-        val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
-        if (bit == 1L) acc(b) += 1 else acc(b) -= 1
+        if (((hi >>> (b - 32)) & 1L) == 1L) acc(b) += n else acc(b) -= n
         b += 1
       }
     }

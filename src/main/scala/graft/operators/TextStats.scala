@@ -269,11 +269,15 @@ object TextStats {
     * table) on top of the windowed-min re-derivations downstream —
     * winnowing/decontamination fingerprints are exactly the artifact that
     * must reproduce across toolchains. 40 bits is ample for intra-doc
-    * window minima and keeps every residue trick ANSI-safe in int64. */
+    * window minima and keeps every residue trick ANSI-safe in int64.
+    * The hashing interior is `Dedup.gramHash40s` — one UTF-8 encode of the
+    * whole string and a reused digest buffer instead of a substring +
+    * getBytes + hex round-trip per position (the round-7 spelling that made
+    * this pass 51× slower, BENCH_r07); values are bit-identical. */
   def gramHashes(text: String, k: Int): Array[Long] = {
     val s = (if (text == null) "" else text).toLowerCase
     if (s.length < k) Array.empty
-    else Array.tabulate(s.length - k + 1)(i => Dedup.md5Hash40(s.substring(i, i + k)))
+    else Dedup.gramHash40s(s, k)
   }
 
   /** (doc_id, pos, h) rows of per-doc gram hashes — the {OUT} dump the

@@ -77,6 +77,57 @@ class HashPrimitivesSpec extends AnyFunSuite {
     }
   }
 
+  test("md5Hash40 / md5Halves / gramHash40s == the hex-parse spellings they replaced") {
+    def hexRef(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    for (_ <- 1 to 300) {
+      val s = randText(40)
+      val h = hexRef(s)
+      assert(Dedup.md5Hex(s) == h)
+      assert(Dedup.md5Hash40(s) == java.lang.Long.parseLong(h.substring(0, 10), 16))
+      assert(Dedup.md5Halves(s) ==
+        ((java.lang.Long.parseLong(h.substring(0, 8), 16),
+          java.lang.Long.parseLong(h.substring(8, 16), 16))))
+    }
+    // gram slicing: ASCII, 2/3-byte BMP chars (fast path) and surrogate
+    // pairs (substring fallback — a slice cannot reproduce the split-pair
+    // replacement encoding); reference is the exact pre-optimization form
+    val pinned = Seq("中文abc中文0xyz", "héllo wörld déjà vu", "a😀bcd efgh", "")
+    for (s0 <- pinned ++ (1 to 100).map(_ => randText(50)); k <- Seq(3, 8)) {
+      val s = s0.toLowerCase
+      val ref =
+        if (s.length < k) Array.empty[Long]
+        else Array.tabulate(s.length - k + 1)(i =>
+          java.lang.Long.parseLong(hexRef(s.substring(i, i + k)).substring(0, 10), 16))
+      assert(graft.operators.TextStats.gramHashes(s0, k).sameElements(ref))
+    }
+  }
+
+  test("simhash64 distinct-token counted voting == per-occurrence voting") {
+    def ref(tokens: Seq[String]): Long = {
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        val (hi, lo) = Dedup.md5Halves(t)
+        var b = 0
+        while (b < 64) {
+          val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+          if (bit == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    for (_ <- 1 to 200) {
+      val ts = randWords(30)
+      val noisy = ts ++ ts.take(rnd.nextInt(ts.size + 1)) // force real duplicates
+      assert(Dedup.simhash64(noisy) == ref(noisy))
+    }
+  }
+
   test("embed: right dim and unit norm") {
     for (dim <- Seq(16, 64, 128); _ <- 1 to 50) {
       val v = TextSim.embed(randText(80), dim)
