@@ -62,10 +62,15 @@ object SparkEntry {
   private val comentionCache = new ConcurrentHashMap[String, DataFrame]()
   private def comentionPairs(s: SparkSession, dir: String): DataFrame =
     comentionCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
-      val p = GraphOps.coMentions(
-        kg(s, dir).triples.select("subj", "pred", "obj")).persist()
-      p.count()
-      p
+      // eager localCheckpoint, NOT persist+count: under persist the frame
+      // keeps its full logical lineage (the whole kg pipeline), and the
+      // nine graph queries reading this memo re-ANALYZE that giant subtree
+      // several times each (both union orientations, join sides…) — with
+      // tiny data the driver-side planning was the dominant wall (guide
+      // §7.3; kg_triangles 7.8 s warm for 88 output rows). The checkpoint
+      // turns every reference into an ExistingRDD scan; rows unchanged.
+      GraphOps.coMentions(
+        kg(s, dir).triples.select("subj", "pred", "obj")).localCheckpoint(true)
     })
 
   /** Compacted twin of the triples sink, built once per (session, sf):
@@ -115,20 +120,44 @@ object SparkEntry {
     })
   }
 
-  /** One pipeline run per (session, sfDir), stages persisted so each kg_*
-    * query reads memoized results instead of recomputing the DAG. */
+  /** Checkpoint the five output frames of a pipeline run for the memo:
+    * eager localCheckpoints, NOT persists. A persisted frame keeps its full
+    * logical lineage — the whole pipeline plan — and every kg_* query
+    * referencing the memo re-ANALYZES that giant subtree per reference;
+    * with bench-scale data the driver-side planning was the dominant wall
+    * of the graph-query family (guide §7.3: kg_pagerank_directed 4.2 s of
+    * which < 0.5 s compute). Checkpoints turn each reference into an
+    * ExistingRDD scan. decisionStats is re-derived from the CHECKPOINTED
+    * decisions so its lineage collapses too. The pipeline-internal caches
+    * still travel in `cached` and are released with the run. */
+  private def checkpointOutputs(out: KgPipeline.Outputs): KgPipeline.Outputs = {
+    val mentions = out.mentions.localCheckpoint(true)
+    val decisions = out.decisions.localCheckpoint(true)
+    KgPipeline.Outputs(
+      mentions, decisions,
+      out.components.localCheckpoint(true), out.triples.localCheckpoint(true),
+      KgPipeline.decisionStats(decisions).localCheckpoint(true), out.cached)
+  }
+
+  /** Free a memoized run: the pipeline-internal caches via release(), then
+    * the checkpointed output frames' own RDD blocks (unpersist is a no-op
+    * on a checkpointed frame — releaseResult drops the LogicalRDD blocks). */
+  private def releaseOutputs(o: KgPipeline.Outputs): Unit = {
+    import graft.pipeline.ConnectedComponents.releaseResult
+    o.release()
+    Seq(o.mentions, o.decisions, o.components, o.triples, o.decisionStats)
+      .foreach(releaseResult)
+  }
+
+  /** One pipeline run per (session, sfDir), outputs checkpointed so each
+    * kg_* query reads memoized results instead of recomputing — or even
+    * re-planning — the DAG. */
   private[graft] def kg(spark: SparkSession, sfDir: String): KgPipeline.Outputs =
     kgCache.computeIfAbsent(sfDir + "@" + spark.hashCode(), _ => {
       val spec = specFor(sfDir)
       val dict = Synth.dictionary(spec)
       val turns = TranscriptSource.fromSeq(spark, Synth.transcripts(spec, dict))
-      val out = KgPipeline.run(spark, turns, dict, GraftConfig.default)
-      // mentions/decisions are already persisted inside KgPipeline.run;
-      // re-persisting the same plan only logs CacheManager warnings
-      KgPipeline.Outputs(
-        out.mentions, out.decisions,
-        out.components.persist(), out.triples.persist(),
-        out.decisionStats.persist(), out.cached)
+      checkpointOutputs(KgPipeline.run(spark, turns, dict, GraftConfig.default))
     })
 
   /** Drop one sfDir's memoized pipeline run and free EVERY frame it cached —
@@ -137,7 +166,7 @@ object SparkEntry {
     * uses this to time a warm second run honestly; long-lived sessions use
     * it to keep executor storage flat across runs. */
   private[graft] def clearKg(spark: SparkSession, sfDir: String): Unit =
-    Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach(_.release())
+    Option(kgCache.remove(sfDir + "@" + spark.hashCode())).foreach(releaseOutputs)
 
   /** Evict EVERY per-session memo for `spark` — kg runs plus the operator
     * caches (shingle sets, minhash pairs, prepped embeddings, probes, IVF
@@ -165,13 +194,17 @@ object SparkEntry {
         }
       }
     }
-    drain(kgCache)(_.release())
+    drain(kgCache)(releaseOutputs)
     drain(writtenTriples)(_ => ())
     drain(compactedTriples)(_ => ())
     drain(incCompactedTriples)(_ => ())
     drain(bucketedTables)(_ => ())
-    Seq(setsCache, lshPairsCache, incPairsCache, comentionCache, embCache, probeCache)
+    Seq(setsCache, embCache, probeCache)
       .foreach(drain(_)(_.unpersist(false)))
+    // these memos are locally checkpointed (not persisted): freeing them
+    // means unpersisting the checkpoint RDD blocks themselves
+    Seq(lshPairsCache, incPairsCache, comentionCache)
+      .foreach(drain(_)(graft.pipeline.ConnectedComponents.releaseResult))
     drain(ivfCache)(_._2.unpersist(false))
   }
 
@@ -191,11 +224,7 @@ object SparkEntry {
       val spec = zhSpecFor(sfDir)
       val dict = Synth.zhDictionary(spec)
       val turns = TranscriptSource.fromSeq(spark, Synth.zhTranscripts(spec, dict))
-      val out = KgPipeline.run(spark, turns, dict, GraftConfig.default)
-      KgPipeline.Outputs(
-        out.mentions, out.decisions,
-        out.components.persist(), out.triples.persist(),
-        out.decisionStats.persist(), out.cached)
+      checkpointOutputs(KgPipeline.run(spark, turns, dict, GraftConfig.default))
     })
 
   /** Flagship: end-to-end KG triples on a small fixed corpus. */
@@ -246,9 +275,11 @@ object SparkEntry {
       // band-miss probability (j=0.80 -> ~5e-8 vs 2.2e-4 at 64) so a future
       // corpus with pairs near the tau cutoff cannot flake the gate; the
       // cheaper default stays for bench/scale paths (Dedup class doc math)
+      // eager localCheckpoint (not persist+count): five queries reference
+      // this memo and re-analyzed the full signature/verify lineage each
+      // time under persist (guide §7.3, same move as comentionPairs)
       val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6, numHashes = 128, bands = 32,
-        onCache = c => cand = Some(c)).persist()
-      out.count()
+        onCache = c => cand = Some(c)).localCheckpoint(true)
       cand.foreach(_.unpersist(false))
       out
     })
@@ -276,8 +307,7 @@ object SparkEntry {
       val out = Dedup.incrementalLsh(oldSets, newSets, 0.6,
           numHashes = 128, bands = 32,
           indexBanded = Some(s.read.parquet(idxPath)),
-          onCache = cached += _).persist()
-      out.count()
+          onCache = cached += _).localCheckpoint(true)
       cached.foreach(_.unpersist(false))
       out
     })

@@ -288,7 +288,12 @@ object GraphOps {
         case None =>
           sums.select(col("ent"), (teleCol + expr("(85 * s) div 100")).as("rank"))
       }
-      if (i % checkpointEvery == 0 && i < iterations) checkpoint()
+      // with a dangling hook the NEXT iteration's top-of-loop checkpoint
+      // already materializes this generation exactly once — the periodic
+      // end-of-iteration checkpoint would materialize the node frame a
+      // second time per round for nothing (r7 ADVICE)
+      if (danglingShare.isEmpty && i % checkpointEvery == 0 && i < iterations)
+        checkpoint()
     }
     val out = ranks.select(col("ent"), col("rank").as("rank_fp"))
       .localCheckpoint(true)

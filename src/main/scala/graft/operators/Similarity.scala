@@ -223,12 +223,19 @@ object Similarity {
     * to end: the model is parallelism-independent, assignment ties go to
     * the lowest cell, representatives are cluster minima. */
   def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
-    val pairs = semanticPairs(assigned, tau)
+    // the assignment plan is walked THREE times (both sides of the cell
+    // self-join + the final keep projection) — materialize it once (r7
+    // ADVICE): an eager localCheckpoint computes the distance-to-every-
+    // centroid assignment a single time and severs the upstream lineage;
+    // the blocks are freed by the ContextCleaner once the frame is
+    // unreachable. Values are untouched — assignment is deterministic.
+    val a = assigned.localCheckpoint(true)
+    val pairs = semanticPairs(a, tau)
     val nonReps = Dedup.clusterReps(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as("vec_id"), lit(false).as("kept"))
-    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    a.select(col("vec_id"), col("cell").cast("long").as("cell"))
       .join(nonReps, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("kept"), lit(true)).as("kept"))
