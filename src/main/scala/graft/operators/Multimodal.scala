@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — every read/write spins
+  // up a temp file even for these small in-memory byte arrays, so the codec
+  // paths paid a filesystem round-trip per row. Keep the cache in memory
+  // (JVM-global; the object initializes on driver and executors alike, and
+  // decoded/encoded bytes are identical either way).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
   /** width/height are image-only (0 elsewhere); sample_rate/duration_ms are
