@@ -452,8 +452,13 @@ object Dedup {
     val spark = newSets.sparkSession
     val acc = spark.sparkContext.longAccumulator("graft.minhash.incremental_skipped_buckets")
     val idx = indexBanded.getOrElse(bandedSignatures(oldSets, numHashes, bands))
-    val cand = incrementalCandidates(idx,
-      bandedSignatures(newSets, numHashes, bands), maxBucket, Some(acc)).persist()
+    // the batch signatures feed incrementalCandidates TWICE (the touched-
+    // bucket prune and the tagged union) — unpersisted, the whole batch
+    // signature aggregation ran twice per call; persist it for the
+    // candidate derivation and hand it to onCache like the other frames
+    val newBanded = bandedSignatures(newSets, numHashes, bands).persist()
+    onCache(newBanded)
+    val cand = incrementalCandidates(idx, newBanded, maxBucket, Some(acc)).persist()
     onCache(cand)
     cand.count()
     // the verify corpus: one set per candidate doc, OLD WINS on an id

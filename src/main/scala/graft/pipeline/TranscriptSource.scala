@@ -22,7 +22,19 @@ object TranscriptSource {
 
   def fromSeq(spark: SparkSession, turns: Seq[Turn], partitions: Int = 0): Dataset[Turn] = {
     import spark.implicits._
-    val ds = spark.createDataset(turns)
+    // createDataset(Seq) encodes every row single-threaded on the driver
+    // (measured ~1.9 s at 100k turns — a serial prefix inside every timed
+    // kg build); distributing the seq first moves the encode onto executor
+    // cores. Content is identical and stableOrder re-partitions by conv_id
+    // either way, so downstream results are byte-unchanged. Tiny inputs
+    // keep the LocalRelation path (cheap, and some specs introspect it).
+    val ds =
+      if (turns.size >= 10000)
+        // slice count keeps each parallelize task's serialized payload small
+        // (~2k turns ≈ 0.8 MB) regardless of core count
+        spark.createDataset(spark.sparkContext.parallelize(
+          turns, math.max(spark.sparkContext.defaultParallelism, turns.size / 2000)))
+      else spark.createDataset(turns)
     stableOrder(if (partitions > 0) ds.repartition(partitions) else ds)
   }
 
