@@ -44,7 +44,12 @@ object Candidates {
       etype: Option[String],
       aliases: Seq[String],
       tf: TextSim.TfVec,
-      emb: Array[Float])
+      emb: Array[Float]) {
+    // squared L2 norm hoisted out of the per-pair cosine: dupEdges touches
+    // O(|dict|^2) pairs and matchCandidates |dict| per query — recomputing
+    // the invariant entity-side norm per pair tripled the dot-loop flops
+    val embSq: Double = TextSim.sqNorm(emb)
+  }
 
   /** Prep + deterministic order (sorted by id): ties in any later stable
     * sort resolve by dictionary id order on every JVM / partition layout. */
@@ -78,7 +83,10 @@ object Candidates {
       var j = i + 1
       while (j < prepped.length) {
         val b = prepped(j)
-        val bge = TextSim.cosine(a.emb, b.emb)
+        val bge =
+          if (a.emb.length == b.emb.length)
+            TextSim.cosinePrenorm(a.emb, b.emb, a.embSq, b.embSq)
+          else TextSim.cosine(a.emb, b.emb)
         val ce = TextSim.tfCosine(a.tf, b.tf)
         val mult = Scoring.typeMultiplier(a.etype, b.etype, cfg)
         val bound = (cfg.bgeWeight * bge + cfg.crossEncoderWeight * ce + maxRest) * mult
@@ -110,7 +118,12 @@ object Candidates {
       case Some(x) => dict.filterNot(_.id == x)
       case None    => dict
     }
-    val withCos = pool.map(e => (e, TextSim.cosine(qEmb, e.emb)))
+    val qSq = TextSim.sqNorm(qEmb)
+    val withCos = pool.map { e =>
+      (e, if (qEmb.length == e.emb.length)
+            TextSim.cosinePrenorm(qEmb, e.emb, qSq, e.embSq)
+          else TextSim.cosine(qEmb, e.emb))
+    }
     // vector branch: exact top 2*top_k by embedding similarity (stable sort —
     // ties keep the id-sorted dictionary order from `prep`)
     val vector = withCos.sortBy(-_._2).take(cfg.topK * 2)

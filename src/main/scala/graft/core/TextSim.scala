@@ -235,6 +235,27 @@ object TextSim {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Ascending-index squared L2 norm — the exact `na`/`nb` accumulation of
+    * `cosine` for a full-length vector, hoistable when one side is reused
+    * across many pairs (the broadcast sweep pays it per PAIR otherwise:
+    * 3 fused multiply-adds per element where 1 carries pair information). */
+  def sqNorm(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    s
+  }
+
+  /** `cosine` with both squared norms precomputed by `sqNorm`. Bit-identical
+    * to `cosine(a, b)` ONLY when a.length == b.length (cosine accumulates
+    * all three sums over the shorter length); callers must guard. */
+  def cosinePrenorm(a: Array[Float], b: Array[Float], na: Double, nb: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) { dot += a(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Platform-stable 64-bit token hash (two murmur32 lanes). */
   def tokenHash64(s: String): Long = {
     val h1 = MurmurHash3.stringHash(s, 0x2e1b2138)
@@ -285,7 +306,9 @@ object TextSim {
     var i = 0; var j = 0
     var dot = 0.0
     while (i < a.tokens.length && j < b.tokens.length) {
-      val (x, y) = (a.tokens(i), b.tokens(j))
+      // plain locals, not a tuple pattern: the destructuring allocated a
+      // boxed Tuple2[Long, Long] per merge step of this inner loop
+      val x = a.tokens(i); val y = b.tokens(j)
       if (x == y) { dot += a.counts(i).toDouble * b.counts(j); i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

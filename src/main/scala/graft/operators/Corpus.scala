@@ -113,7 +113,7 @@ object Corpus {
     * Returns (merge_round, lhs, rhs, cnt) — the learned merge table, the
     * artifact a tokenizer trainer actually emits. Stops early if no pair
     * remains. */
-  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int, checkpointEvery: Int = 3): DataFrame = {
     import graft.pipeline.ConnectedComponents.releaseResult
     val spark = docs.sparkSession
     import spark.implicits._
@@ -123,6 +123,15 @@ object Corpus {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("word"), "(.)", "|$1|").as("w"), col("freq"))
       .localCheckpoint(true)
+    // `wf` alternates between the last eager checkpoint and a lazy chain of
+    // replace projections on top of it: each round only ADDS one narrow
+    // projection, so the chain stays shallow and re-running it from the
+    // checkpoint is vocab-scale ALU — a checkpoint (one materialization job
+    // + stored blocks) every round bought nothing but the job overhead
+    // (measured: the per-round jobs, not the aggregate, dominated the wall
+    // at bench scale). Checkpoint every `checkpointEvery` merges instead;
+    // the release discipline (free the superseded generation) is unchanged.
+    var lastCp = wf
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -141,15 +150,17 @@ object Corpus {
         val (l, rr, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
-        val next = wf
-          .select(replace(col("w"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("w"),
-            col("freq"))
-          .localCheckpoint(true)
-        releaseResult(wf)
-        wf = next
+        wf = wf.select(replace(col("w"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("w"),
+          col("freq"))
+        if (r % checkpointEvery == 0 && r < rounds) {
+          val c2 = wf.localCheckpoint(true)
+          releaseResult(lastCp)
+          lastCp = c2
+          wf = c2
+        }
       }
     }
-    releaseResult(wf)
+    releaseResult(lastCp)
     merges.toSeq.toDF("merge_round", "lhs", "rhs", "cnt")
   }
 

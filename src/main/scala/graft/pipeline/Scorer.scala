@@ -136,6 +136,9 @@ object Scorer {
       id: String, name: String, aliases: Seq[String], etype: String,
       tf: TextSim.TfVec, emb: Array[Float]) {
     val etypeOpt: Option[String] = Option(etype)
+    // squared L2 norm hoisted out of the per-pair cosine (the sweep computes
+    // one cosine per (mention, entity); the entity-side norm is invariant)
+    val embSq: Double = TextSim.sqNorm(emb)
   }
 
   /** Dictionary as a broadcastable prepped-side array, SORTED BY ID so every
@@ -192,6 +195,16 @@ object Scorer {
       sweep: Boolean = true) = udf { (m: Row, cands: Seq[String]) =>
     val (surface, _, mType, tfM, embM) = sideFromRow(m)
     val dict = bc.value
+    // mention-side squared norm, computed once per mention: with it and the
+    // entity-side embSq, each pair's cosine is one dot loop instead of three
+    // fused multiply-adds per element — bit-identical (same ascending sums,
+    // same dot/sqrt(na*nb) expression) whenever the dims match, which the
+    // fixed embeddingDim guarantees; the guard keeps odd-length inputs on
+    // the original spelling
+    val mSq = TextSim.sqNorm(embM)
+    def bgeOf(e: EntSide): Double =
+      if (embM.length == e.emb.length) TextSim.cosinePrenorm(embM, e.emb, mSq, e.embSq)
+      else TextSim.cosine(embM, e.emb)
     var bestId: String = null
     var best: graft.model.EntityScore = null
     def consider(e: EntSide): Unit = {
@@ -219,7 +232,7 @@ object Scorer {
         if (i < 0) Iterator.empty
         else {
           val e = dict(i)
-          val bge = TextSim.cosine(embM, e.emb)
+          val bge = bgeOf(e)
           val ce = TextSim.tfCosine(tfM, e.tf)
           val mult = Scoring.typeMultiplier(mType, e.etypeOpt, cfg)
           Iterator.single(
@@ -243,7 +256,7 @@ object Scorer {
     if (sweep) {
       dict.foreach { e =>
         if (!candSet.contains(e.id)) {
-          val bge = TextSim.cosine(embM, e.emb)
+          val bge = bgeOf(e)
           val ce = TextSim.tfCosine(tfM, e.tf)
           val mult = Scoring.typeMultiplier(mType, e.etypeOpt, cfg)
           val bound =
