@@ -274,7 +274,7 @@ object SparkEntry {
   private val lshPairsCache = new ConcurrentHashMap[String, DataFrame]()
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.computeIfAbsent(dir + "@" + s.hashCode(), _ => {
-      var cand: Option[DataFrame] = None
+      val cached = scala.collection.mutable.Buffer[DataFrame]()
       // 128/32 pinned HERE (not the 64/16 default): this surface is gated by
       // an exact-equality DuckDB twin, and 128 hashes square the per-pair
       // band-miss probability (j=0.80 -> ~5e-8 vs 2.2e-4 at 64) so a future
@@ -284,8 +284,8 @@ object SparkEntry {
       // this memo and re-analyzed the full signature/verify lineage each
       // time under persist (guide §7.3, same move as comentionPairs)
       val out = Dedup.minhashLsh(shingleSets(s, dir), 0.6, numHashes = 128, bands = 32,
-        onCache = c => cand = Some(c)).localCheckpoint(true)
-      cand.foreach(_.unpersist(false))
+        onCache = cached += _).localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
       out
     })
 

@@ -46,9 +46,9 @@ object DedupBench {
       val nDocs = corpus.count()
       val nSets = sets.count() // materialize before timing
       val (nEx, tEx) = time(Dedup.jaccardPairs(sets, 0.6).count())
-      var cand: Option[DataFrame] = None
+      val cand = scala.collection.mutable.Buffer[DataFrame]()
       val (nLsh, tLsh) =
-        time(Dedup.minhashLsh(sets, 0.6, numHashes, bands, onCache = c => cand = Some(c)).count())
+        time(Dedup.minhashLsh(sets, 0.6, numHashes, bands, onCache = cand += _).count())
       cand.foreach(_.unpersist(false))
       println(f"$label: docs=$nDocs setRows=$nSets maxDf=$maxDf h=$numHashes/b=$bands " +
         f"exhaustive=${tEx}%.2fs ($nEx pairs) lsh=${tLsh}%.2fs ($nLsh pairs) " +

@@ -30,9 +30,9 @@ object HeavyProbe {
     }
     (1 to rounds).foreach { r =>
       val te = t1(graft.operators.Dedup.jaccardPairs(bs, 0.6).count())
-      var cand: Option[org.apache.spark.sql.DataFrame] = None
+      val cand = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
       val tl = t1(graft.operators.Dedup.minhashLsh(bs, 0.6, 64, 16,
-        onCache = c => cand = Some(c)).count())
+        onCache = cand += _).count())
       cand.foreach(_.unpersist(false))
       println(f"[heavy] round $r ex=$te%.2f lsh=$tl%.2f x=${te / tl}%.2f")
     }

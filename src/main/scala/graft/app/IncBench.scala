@@ -81,9 +81,9 @@ object IncBench {
     val (nOldRows, nNewRows) = (oldSets.count(), newSets.count())
 
     // FULL: what a pipeline without an index pays per drop
-    var fullCand: Option[DataFrame] = None
+    val fullCand = scala.collection.mutable.Buffer[DataFrame]()
     val ((fullPairs, tFull), bFull) = shuffled(time {
-      val p = Dedup.minhashLsh(sets, 0.6, onCache = c => fullCand = Some(c)).persist()
+      val p = Dedup.minhashLsh(sets, 0.6, onCache = fullCand += _).persist()
       p.count(); p
     })
 

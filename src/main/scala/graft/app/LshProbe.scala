@@ -24,10 +24,10 @@ object LshProbe {
       cand.unpersist(true)
     }
     t("jaccardPairs (exhaustive)")(Dedup.jaccardPairs(sets, 0.6).count())
-    var cand: Option[org.apache.spark.sql.DataFrame] = None
+    val lshCached = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
     t("minhashLsh default warm")(
-      Dedup.minhashLsh(sets, 0.6, onCache = c => cand = Some(c)).count())
-    cand.foreach(_.unpersist(false))
+      Dedup.minhashLsh(sets, 0.6, onCache = lshCached += _).count())
+    lshCached.foreach(_.unpersist(false))
     spark.stop()
   }
 }

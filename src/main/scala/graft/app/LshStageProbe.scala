@@ -45,8 +45,8 @@ object LshStageProbe {
     }
     t("verify (jaccardForPairs)") { noop(Dedup.jaccardForPairs(sets, cand, 0.6)) }
     t("full minhashLsh") {
-      var c: Option[org.apache.spark.sql.DataFrame] = None
-      noop(Dedup.minhashLsh(sets, 0.6, numHashes, bands, onCache = x => c = Some(x)))
+      val c = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+      noop(Dedup.minhashLsh(sets, 0.6, numHashes, bands, onCache = c += _))
       c.foreach(_.unpersist(false))
     }
     spark.stop()

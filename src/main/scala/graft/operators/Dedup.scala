@@ -363,7 +363,21 @@ object Dedup {
       .longAccumulator("graft.minhash.skipped_buckets")
     val cand = minhashCandidates(sets, numHashes, bands, maxBucket, Some(acc)).persist()
     onCache(cand)
-    jaccardForPairs(sets, cand, tau)
+    // prune the corpus-scale sets to candidate members ONCE and persist the
+    // (candidate-doc-sized) result: jaccardForPairs walks its `sets` input
+    // three times (sizes + both intersection sides), and unpersisted, each
+    // walk re-ran the broadcast prune over the FULL sets frame — three
+    // corpus-scale passes for a verify step whose work should scale with
+    // |candidates| (the incrementalLsh discipline, now shared). Doc-level
+    // pruning keeps every shingle of a kept doc, so sizes and intersections
+    // are unchanged. onCache fires for BOTH persisted frames, verify corpus
+    // LAST (single-slot handlers keep and release the larger frame; the
+    // pair-scale candidates leak at worst).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val verifySets = sets.join(broadcast(candDocs), "doc_id").persist()
+    onCache(verifySets)
+    jaccardForPairs(verifySets, cand, tau)
   }
 
   /** Incremental LSH candidates: pairs touching AT LEAST ONE new document.
