@@ -162,7 +162,13 @@ object GraphOps {
   }
 
   def triangleCounts(und: DataFrame): DataFrame = {
-    val oriented = orientEdges(und)
+    import graft.pipeline.ConnectedComponents.releaseResult
+    // the oriented edge list feeds BOTH wedge sides and the closing join —
+    // left lazy, the degree aggregate + orientation joins ran three times
+    // per call (edge-scale each). One eager checkpoint computes it once;
+    // its blocks are freed once the (node-scale) counts are materialized,
+    // so the operator is eager like kCore/bfsDistances
+    val oriented = orientEdges(und).localCheckpoint(true)
     val e1 = oriented.select(col("src"), col("dst").as("v"), col("deg_dst").as("dv"))
     val e2 = oriented.select(col("src"), col("dst").as("w"), col("deg_dst").as("dw"))
     val wedges = e1.join(e2, "src")
@@ -170,9 +176,12 @@ object GraphOps {
     val triangles = wedges.join(
         oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
-    triangles
+    val out = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("ent"))
       .groupBy("ent").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    releaseResult(oriented)
+    out
   }
 
   /** PageRank in 64-bit FIXED-POINT arithmetic — every operation is an
@@ -207,7 +216,10 @@ object GraphOps {
                  scale: Long = 1000000000000L,
                  checkpointEvery: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree aggregate is EDGE-SCALE and was re-run per reference (the
+    // node count, the eDeg invariant join, the rank-init frame) — persist
+    // it for the setup's lifetime; released after the loop returns
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
     require(n > 0, "pageRankFp: empty edge list")
     val r0 = scale / n
@@ -225,9 +237,11 @@ object GraphOps {
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
-    prFixpointLoop(eDeg, "rank div deg",
+    val out = prFixpointLoop(eDeg, "rank div deg",
       deg.select(col("src").as("ent"), lit(r0).as("rank")),
       lit((15L * r0) / 100L), iterations, checkpointEvery)
+    deg.unpersist(false)
+    out
   }
 
   /** THE fixed-point loop under all four PageRank variants: per iteration,
@@ -323,7 +337,9 @@ object GraphOps {
                          scale: Long = 1000000000000L,
                          checkpointEvery: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
-    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+    // edge-scale aggregate, referenced three times (count, invariant join,
+    // rank init) — persisted for the setup, released after the loop
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
     val n = wsum.count()
     require(n > 0, "pageRankWeightedFp: empty edge list")
     val r0 = scale / n
@@ -332,9 +348,11 @@ object GraphOps {
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true)
-    prFixpointLoop(eW, "(rank * w) div wsum",
+    val out = prFixpointLoop(eW, "(rank * w) div wsum",
       wsum.select(col("src").as("ent"), lit(r0).as("rank")),
       lit((15L * r0) / 100L), iterations, checkpointEvery)
+    wsum.unpersist(false)
+    out
   }
 
   /** k-core decomposition by iterative peeling: repeatedly remove nodes of
@@ -416,7 +434,9 @@ object GraphOps {
                              scale: Long = 1000000000000L,
                              checkpointEvery: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edge-scale aggregate, referenced by the node frame AND the invariant
+    // join — persisted for the setup, released after the loop
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val s = seeds.select(col("ent")).distinct()
     val nS = s.count()
     require(nS > 0, "personalizedPageRankFp: empty seed set")
@@ -434,11 +454,13 @@ object GraphOps {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    prFixpointLoop(eDeg, "rank div deg",
+    val out = prFixpointLoop(eDeg, "rank div deg",
       nodes.select(col("ent"), col("is_seed"),
         when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("rank")),
       when(col("is_seed"), lit(tele)).otherwise(lit(0L)),
       iterations, checkpointEvery, nodes = Some(nodes))
+    deg.unpersist(false)
+    out
   }
 
   /** PageRank over a DIRECTED edge list with dangling-node mass — the
@@ -473,7 +495,9 @@ object GraphOps {
   def pageRankDirected(edges: DataFrame, iterations: Int,
                        scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edge-scale aggregate, referenced by the node frame AND the invariant
+    // join — persisted for the setup, released after the loop
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     // node frame with its has-out-edges flag, pre-partitioned on ent and
     // checkpointed once: every iteration's left join and dangling filter
     // reuse it (and its partitioning) without recomputing the distinct
@@ -491,12 +515,14 @@ object GraphOps {
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    prFixpointLoop(eDeg, "rank div deg",
+    val out = prFixpointLoop(eDeg, "rank div deg",
       nodes.select(col("ent"), col("has_out"), lit(r0).as("rank")),
       lit(tele), iterations, checkpointEvery = 1, nodes = Some(nodes),
       danglingShare = Some(r => r.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
         .head.getLong(0) / n))
+    deg.unpersist(false)
+    out
   }
 
   /** TransE-style NEGATIVE SAMPLING over the mention graph — the
