@@ -52,7 +52,10 @@ object GraphOps {
   def comentionLift(triples: DataFrame, pairs: DataFrame): DataFrame = {
     val m = triples.filter(col("pred") === "mentions")
       .select(col("subj").as("turn"), col("obj").as("ent"))
-    val c = m.groupBy("ent").agg(count(lit(1)).as("c"))
+    // the per-entity marginal feeds BOTH broadcast sides below — left lazy,
+    // the mentions-scale aggregate ran twice per call. One eager
+    // checkpoint (entity-dictionary-scale rows, bounded) computes it once
+    val c = m.groupBy("ent").agg(count(lit(1)).as("c")).localCheckpoint(true)
     val n = m.select(countDistinct(col("turn")).as("n_turns"))
     pairs.withColumnRenamed("n_turns", "c_ab")
       .join(broadcast(c.select(col("ent").as("entity_a"), col("c").as("c_a"))), "entity_a")
@@ -556,8 +559,15 @@ object GraphOps {
                       maxPool: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = triples.filter(col("pred") === "mentions").select("subj", "obj")
+    // the dense entity index is referenced twice (the pool count for the
+    // modulus, then the broadcast lookup join) — left lazy, the
+    // corpus-scale positives distinct and the global window ran twice per
+    // call. One eager checkpoint computes it once; the blocks are
+    // dictionary-scale by the maxPool contract below (bounded), so they
+    // may live for the session like the other dictionary-sized artifacts
     val ents = pos.select(col("obj").as("ent")).distinct()
       .withColumn("eidx", row_number().over(Window.orderBy("ent")).cast("long") - 1L)
+      .localCheckpoint(true)
     val n = ents.count()
     require(n > 1, s"negativeSamples: need >= 2 entities, got $n")
     require(n <= maxPool,
